@@ -1,0 +1,277 @@
+"""BAM binary codec over BGZF.
+
+Replaces the reference's external samtools/sambamba record handling with an
+in-repo codec (SURVEY.md §2 rows 11/19 re-provide list).  Spec-complete for
+the record fields the pipeline produces; tag support covers the types GATK
+and pipelines emit (A c C s S i I f Z B-arrays).
+"""
+from __future__ import annotations
+
+import struct
+from pathlib import Path
+
+import numpy as np
+
+from ..utils.errors import InvalidParam
+from .bgzf import BgzfReader, BgzfWriter
+from .sam import Cigar, SamHeader, SamRecord, cigar_query_len
+
+_BAM_MAGIC = b"BAM\x01"
+
+# 4-bit seq encoding ("=ACMGRSVTWYHKDBN")
+_NT16 = "=ACMGRSVTWYHKDBN"
+_SEQ_ENC = {c: i for i, c in enumerate(_NT16)}
+_SEQ_ENC.update({c.lower(): i for i, c in enumerate(_NT16)})
+
+
+def _pack_seq(seq: str) -> bytes:
+    n = len(seq)
+    out = bytearray((n + 1) // 2)
+    for i, c in enumerate(seq):
+        v = _SEQ_ENC.get(c, 15)
+        if i % 2 == 0:
+            out[i // 2] = v << 4
+        else:
+            out[i // 2] |= v
+    return bytes(out)
+
+
+def _unpack_seq(data: bytes, n: int) -> str:
+    out = []
+    for i in range(n):
+        b = data[i // 2]
+        v = (b >> 4) if i % 2 == 0 else (b & 0xF)
+        out.append(_NT16[v])
+    return "".join(out)
+
+
+def reg2bin(beg: int, end: int) -> int:
+    """UCSC binning (BAM spec section 5.3)."""
+    end -= 1
+    if beg >> 14 == end >> 14:
+        return ((1 << 15) - 1) // 7 + (beg >> 14)
+    if beg >> 17 == end >> 17:
+        return ((1 << 12) - 1) // 7 + (beg >> 17)
+    if beg >> 20 == end >> 20:
+        return ((1 << 9) - 1) // 7 + (beg >> 20)
+    if beg >> 23 == end >> 23:
+        return ((1 << 6) - 1) // 7 + (beg >> 23)
+    if beg >> 26 == end >> 26:
+        return ((1 << 3) - 1) // 7 + (beg >> 26)
+    return 0
+
+
+_TAG_PACK = {
+    "A": lambda v: struct.pack("<c", v.encode() if isinstance(v, str) else v),
+    "c": lambda v: struct.pack("<b", v), "C": lambda v: struct.pack("<B", v),
+    "s": lambda v: struct.pack("<h", v), "S": lambda v: struct.pack("<H", v),
+    "i": lambda v: struct.pack("<i", v), "I": lambda v: struct.pack("<I", v),
+    "f": lambda v: struct.pack("<f", v),
+    "Z": lambda v: v.encode() + b"\x00",
+}
+
+
+def _best_int_type(v: int) -> str:
+    if -128 <= v < 128:
+        return "c"
+    if 0 <= v < 256:
+        return "C"
+    if -32768 <= v < 32768:
+        return "s"
+    if 0 <= v < 65536:
+        return "S"
+    return "i"
+
+
+def _encode_tags(tags: dict[str, tuple[str, object]]) -> bytes:
+    out = bytearray()
+    for name, (typ, val) in tags.items():
+        if typ == "i":
+            typ = _best_int_type(int(val))
+            val = int(val)
+        if typ == "B":
+            sub, arr = val  # (subtype, iterable)
+            out += name.encode() + b"B" + sub.encode()
+            arr = list(arr)
+            out += struct.pack("<i", len(arr))
+            for x in arr:
+                out += _TAG_PACK[sub](x)
+        else:
+            out += name.encode() + typ.encode() + _TAG_PACK[typ](val)
+    return bytes(out)
+
+
+_TAG_UNPACK = {
+    "A": ("<c", 1), "c": ("<b", 1), "C": ("<B", 1), "s": ("<h", 2),
+    "S": ("<H", 2), "i": ("<i", 4), "I": ("<I", 4), "f": ("<f", 4),
+}
+
+
+def _decode_tags(data: bytes) -> dict[str, tuple[str, object]]:
+    tags: dict[str, tuple[str, object]] = {}
+    i = 0
+    while i + 3 <= len(data):
+        name = data[i:i + 2].decode()
+        typ = chr(data[i + 2])
+        i += 3
+        if typ in _TAG_UNPACK:
+            fmt, size = _TAG_UNPACK[typ]
+            (val,) = struct.unpack_from(fmt, data, i)
+            i += size
+            if typ == "A":
+                val = val.decode()
+            if typ in "cCsSI":
+                typ = "i"
+            tags[name] = (typ, val)
+        elif typ == "Z":
+            end = data.index(b"\x00", i)
+            tags[name] = ("Z", data[i:end].decode())
+            i = end + 1
+        elif typ == "B":
+            sub = chr(data[i])
+            (count,) = struct.unpack_from("<i", data, i + 1)
+            i += 5
+            fmt, size = _TAG_UNPACK[sub]
+            vals = [struct.unpack_from(fmt, data, i + k * size)[0]
+                    for k in range(count)]
+            i += count * size
+            tags[name] = ("B", (sub, vals))
+        else:
+            raise InvalidParam(f"unsupported BAM tag type {typ!r}")
+    return tags
+
+
+def _encode_record(rec: SamRecord) -> bytes:
+    name = rec.qname.encode() + b"\x00"
+    cigar_bytes = b"".join(
+        struct.pack("<I", (n << 4) | op) for op, n in rec.cigar)
+    seq = "" if rec.seq in ("*", "") else rec.seq
+    l_seq = len(seq)
+    if rec.cigar and l_seq and cigar_query_len(rec.cigar) != l_seq:
+        raise InvalidParam(
+            f"CIGAR/query length mismatch for {rec.qname}: "
+            f"{cigar_query_len(rec.cigar)} vs {l_seq}")
+    seq_bytes = _pack_seq(seq)
+    if rec.qual in ("*", "") or not l_seq:
+        qual_bytes = b"\xff" * l_seq
+    else:
+        qual_bytes = bytes((ord(c) - 33) for c in rec.qual)
+    tag_bytes = _encode_tags(rec.tags)
+    end = rec.pos + 1 if not rec.cigar else rec.end_pos
+    body = struct.pack(
+        "<iiBBHHHiiii",
+        rec.tid, rec.pos,
+        len(name), rec.mapq, reg2bin(max(rec.pos, 0), max(end, 1)),
+        len(rec.cigar), rec.flag,
+        l_seq, rec.mtid, rec.mpos, rec.tlen,
+    ) + name + cigar_bytes + seq_bytes + qual_bytes + tag_bytes
+    return struct.pack("<i", len(body)) + body
+
+
+def _decode_record(body: bytes) -> SamRecord:
+    (tid, pos, l_name, mapq, _bin, n_cigar, flag, l_seq, mtid, mpos,
+     tlen) = struct.unpack_from("<iiBBHHHiiii", body, 0)
+    off = 32
+    qname = body[off:off + l_name - 1].decode()
+    off += l_name
+    cigar: Cigar = []
+    for _ in range(n_cigar):
+        (v,) = struct.unpack_from("<I", body, off)
+        cigar.append((v & 0xF, v >> 4))
+        off += 4
+    seq = _unpack_seq(body[off:off + (l_seq + 1) // 2], l_seq)
+    off += (l_seq + 1) // 2
+    qual_raw = body[off:off + l_seq]
+    off += l_seq
+    qual = ("*" if (not l_seq or qual_raw[:1] == b"\xff")
+            else "".join(chr(q + 33) for q in qual_raw))
+    tags = _decode_tags(body[off:])
+    return SamRecord(qname, flag, tid, pos, mapq, cigar, mtid, mpos, tlen,
+                     seq if l_seq else "*", qual, tags)
+
+
+class BamWriter:
+    def __init__(self, path: str | Path, header: SamHeader, level: int = 6):
+        self._w = BgzfWriter(path, level)
+        self.header = header
+        text = header.to_text().encode()
+        buf = _BAM_MAGIC + struct.pack("<i", len(text)) + text
+        buf += struct.pack("<i", len(header.contigs))
+        for name, length in header.contigs:
+            nm = name.encode() + b"\x00"
+            buf += struct.pack("<i", len(nm)) + nm + struct.pack("<i", length)
+        self._w.write(buf)
+
+    def write(self, rec: SamRecord) -> None:
+        self._w.write(_encode_record(rec))
+
+    def write_all(self, records) -> None:
+        for r in records:
+            self.write(r)
+
+    def close(self) -> None:
+        self._w.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+class BamReader:
+    def __init__(self, path: str | Path):
+        self._r = BgzfReader(path)
+        magic = self._r.read(4)
+        if magic != _BAM_MAGIC:
+            raise InvalidParam(f"{path} is not a BAM file")
+        (l_text,) = struct.unpack("<i", self._r.read(4))
+        text = self._r.read(l_text).rstrip(b"\x00").decode()
+        (n_ref,) = struct.unpack("<i", self._r.read(4))
+        contigs = []
+        for _ in range(n_ref):
+            (l_name,) = struct.unpack("<i", self._r.read(4))
+            name = self._r.read(l_name)[:-1].decode()
+            (l_ref,) = struct.unpack("<i", self._r.read(4))
+            contigs.append((name, l_ref))
+        self.header = SamHeader.from_text(text)
+        if not self.header.contigs:
+            self.header.contigs = contigs
+
+    def __iter__(self):
+        while True:
+            size_raw = self._r.read(4)
+            if len(size_raw) < 4:
+                return
+            (size,) = struct.unpack("<i", size_raw)
+            body = self._r.read(size)
+            if len(body) < size:
+                raise InvalidParam("truncated BAM record")
+            yield _decode_record(body)
+
+    def close(self) -> None:
+        self._r.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def write_bam(path: str | Path, header: SamHeader, records) -> str:
+    with BamWriter(path, header) as w:
+        w.write_all(records)
+    return str(path)
+
+
+def read_bam(path: str | Path) -> tuple[SamHeader, list[SamRecord]]:
+    with BamReader(path) as r:
+        return r.header, list(r)
+
+
+def read_bam_coords(path: str | Path) -> np.ndarray:
+    """(n, 3) array of (tid, pos, flag) — fast scan for sort/dup checks."""
+    with BamReader(path) as r:
+        rows = [(rec.tid, rec.pos, rec.flag) for rec in r]
+    return np.asarray(rows, dtype=np.int64).reshape(-1, 3)
