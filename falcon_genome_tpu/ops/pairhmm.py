@@ -1,0 +1,365 @@
+"""Batched PairHMM forward likelihood as a Pallas TPU kernel.
+
+This replaces the reference's FPGA PairHMM service (Blaze NAM behind GATK
+HaplotypeCaller/Mutect2 — SURVEY.md §2 row 25, src/workers/BlazeWorker.cpp):
+instead of a background accelerator daemon fed over sockets, the likelihood
+batch is an in-process kernel over device arrays.
+
+Design (TPU-first, not a translation):
+
+* **Anti-diagonal wavefront.** The M/I/D recurrences carry dependencies on
+  (i-1,j-1), (i-1,j) and (i,j-1); cells along an anti-diagonal d = i+j are
+  independent.  The kernel holds the wavefront as (R, B) tiles — read
+  position on sublanes, batch pair on lanes — and steps d = 1..R+H, shifting
+  the haplotype through the diagonal.  All per-step work is dense VPU
+  elementwise math on (R, 128) tiles; there is no gather/scatter.
+* **Length bucketing.** Reads pad to R, haplotypes to H (static shapes for
+  XLA); per-pair read_len/hap_len masks handle raggedness. Invalid cells are
+  computed but masked out of the result; they cannot flow back into valid
+  cells because j only advances.
+* **f32 with periodic per-pair rescaling.**  GATK runs f32 with initial
+  condition 2^120 and falls back to f64 on underflow; TPUs have no fast f64,
+  so instead every RESCALE_EVERY diagonals the kernel rescales any pair
+  whose live state has shrunk below 2^-60 by 2^100, accumulating the shift
+  in a per-pair exponent.  The recurrence is linear, so rescaling is exact —
+  unbounded dynamic range without leaving f32.
+
+Result: log10 P(read|hap) per pair, matching the float64 golden model
+(`pairhmm_ref.py`) to f32 tolerance.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LOG10_2 = math.log10(2.0)
+LOG10_INITIAL = 120 * LOG10_2   # initial condition 2^120 (f32 headroom)
+RESCALE_EVERY = 64
+RESCALE_THRESH = 2.0 ** -60
+RESCALE_FACTOR = 2.0 ** 100
+RESCALE_SHIFT_LOG10 = 100 * LOG10_2
+
+LANES = 128  # batch pairs per kernel program
+
+
+@dataclasses.dataclass(frozen=True)
+class PairHMMParams:
+    """Static bucket shape for one compiled kernel variant.
+
+    backend: "pallas" (TPU kernel), "jax" (portable lax.scan wavefront —
+    the CPU fallback), or "interpret" (pallas interpreter, for kernel
+    debugging).
+    """
+    max_read_len: int = 160   # must be a multiple of 8 (f32 sublanes)
+    max_hap_len: int = 512
+    backend: str = "pallas"
+
+    @property
+    def interpret(self) -> bool:
+        return self.backend == "interpret"
+
+
+def _shift_down(x: jnp.ndarray, fill_row: jnp.ndarray) -> jnp.ndarray:
+    """Row shift: out[r] = x[r-1], out[0] = fill_row ((1, B))."""
+    return jnp.concatenate([fill_row, x[:-1, :]], axis=0)
+
+
+def _pairhmm_kernel(read_ref, perr_ref, pins_ref, pdel_ref, pcont_ref,
+                    rlen_ref, hap_ref, hlen_ref,
+                    acc_ref, shift_ref,
+                    m1_ref, i1_ref, d1_ref, m2_ref, i2_ref, d2_ref,
+                    hapd_ref, bound_ref):
+    R = read_ref.shape[0]
+    H = hap_ref.shape[0]
+    B = read_ref.shape[1]
+    f32 = jnp.float32
+
+    # ---- per-row transition probabilities (computed once) ------------------
+    p_ins = pins_ref[:]
+    p_del = pdel_ref[:]
+    p_cont = pcont_ref[:]
+    a_mm = 1.0 - jnp.minimum(1.0, p_ins + p_del)
+    a_im = 1.0 - p_cont
+    p_err = perr_ref[:]
+
+    read_codes = read_ref[:]                       # (R, B) int32
+    rlen = rlen_ref[:]                             # (1, B) int32
+    hlen = hlen_ref[:]                             # (1, B) int32
+    hlen_f = hlen.astype(f32)
+
+    rvec = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)  # row index r
+
+    # ---- initial state -----------------------------------------------------
+    zero = jnp.zeros((R, B), f32)
+    m1_ref[:] = zero
+    i1_ref[:] = zero
+    d1_ref[:] = zero
+    m2_ref[:] = zero
+    i2_ref[:] = zero
+    d2_ref[:] = zero
+    hapd_ref[:] = jnp.zeros((R, B), jnp.int32)
+    acc_ref[:] = jnp.zeros((1, B), f32)
+    shift_ref[:] = jnp.zeros((1, B), f32)
+
+    ic = f32(2.0) ** 120
+    bound_ref[:] = ic / jnp.maximum(hlen_f, 1.0)   # D[0][j] = IC / hap_len
+
+    def step(d, carry):
+        boundary = bound_ref[:]
+        # haplotype diagonal: hapd[r] = hap[d - r - 2] (entering at r=0)
+        new_hap_row = hap_ref[pl.ds(jnp.clip(d - 2, 0, H - 1), 1), :]
+        hapd = _shift_down(hapd_ref[:], new_hap_row)
+        hapd_ref[:] = hapd
+
+        jvec = d - rvec - 1                        # hap position j at row r
+        live = (jvec >= 1).astype(f32)             # cells started
+
+        # emission prior at (r, j)
+        match = jnp.logical_or(
+            read_codes == hapd,
+            jnp.logical_or(read_codes >= 4, hapd >= 4))
+        prior = jnp.where(match, 1.0 - p_err, p_err * (1.0 / 3.0))
+
+        m2s = _shift_down(m2_ref[:], jnp.zeros((1, B), f32))
+        i2s = _shift_down(i2_ref[:], jnp.zeros((1, B), f32))
+        d2s = _shift_down(d2_ref[:], boundary)     # D[0][j-1] boundary
+        m1s = _shift_down(m1_ref[:], jnp.zeros((1, B), f32))
+        i1s = _shift_down(i1_ref[:], jnp.zeros((1, B), f32))
+
+        m_new = prior * (m2s * a_mm + (i2s + d2s) * a_im) * live
+        i_new = (m1s * p_ins + i1s * p_cont) * live
+        d_new = (m1_ref[:] * p_del + d1_ref[:] * p_cont) * live
+
+        # rotate state: (d-1) -> (d-2), new -> (d-1)
+        m2_ref[:] = m1_ref[:]
+        i2_ref[:] = i1_ref[:]
+        d2_ref[:] = d1_ref[:]
+        m1_ref[:] = m_new
+        i1_ref[:] = i_new
+        d1_ref[:] = d_new
+
+        # accumulate final-row mass: row r with r+1 == read_len, j in [1, hap_len]
+        amask = jnp.logical_and(
+            rvec + 1 == rlen,
+            jnp.logical_and(jvec >= 1, jvec <= hlen)).astype(f32)
+        acc_ref[:] = acc_ref[:] + jnp.sum(
+            (m_new + i_new) * amask, axis=0, keepdims=True)
+
+        # periodic exact rescale of pairs whose state is vanishing
+        @pl.when(d % RESCALE_EVERY == 0)
+        def _():
+            m = jnp.maximum(
+                jnp.max(jnp.abs(m1_ref[:]) + jnp.abs(i1_ref[:])
+                        + jnp.abs(d1_ref[:]), axis=0, keepdims=True),
+                jnp.max(jnp.abs(m2_ref[:]) + jnp.abs(i2_ref[:])
+                        + jnp.abs(d2_ref[:]), axis=0, keepdims=True))
+            need = jnp.logical_and(m > 0.0, m < RESCALE_THRESH)
+            scale = jnp.where(need, f32(RESCALE_FACTOR), f32(1.0))
+            m1_ref[:] = m1_ref[:] * scale
+            i1_ref[:] = i1_ref[:] * scale
+            d1_ref[:] = d1_ref[:] * scale
+            m2_ref[:] = m2_ref[:] * scale
+            i2_ref[:] = i2_ref[:] * scale
+            d2_ref[:] = d2_ref[:] * scale
+            acc_ref[:] = acc_ref[:] * scale
+            shift_ref[:] = shift_ref[:] + jnp.where(
+                need, f32(RESCALE_SHIFT_LOG10), f32(0.0))
+            # the boundary row feeds cells until the last diagonal touches
+            # j-1 == 0; keep it on the same scale as the state
+            bound_ref[:] = boundary * scale
+
+        return carry
+
+    jax.lax.fori_loop(1, R + H + 1, step, 0)
+
+
+def _bucket_cost(p: PairHMMParams) -> pl.CostEstimate:
+    steps = p.max_read_len + p.max_hap_len
+    elems = p.max_read_len * LANES * steps
+    return pl.CostEstimate(
+        flops=22 * elems,
+        bytes_accessed=(5 * 4 * p.max_read_len + p.max_hap_len) * LANES,
+        transcendentals=0,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("params",))
+def _pairhmm_device(read_codes, p_err, p_ins, p_del, p_cont, read_lens,
+                    hap_codes, hap_lens, *, params: PairHMMParams):
+    """Device entry: time-major (R, B)/(H, B) inputs, B multiple of LANES."""
+    R, B = read_codes.shape
+    H = hap_codes.shape[0]
+    nblocks = B // LANES
+
+    col_spec = lambda rows: pl.BlockSpec(  # noqa: E731
+        (rows, LANES), lambda b: (0, b), memory_space=pltpu.VMEM)
+
+    acc, shift = pl.pallas_call(
+        _pairhmm_kernel,
+        grid=(nblocks,),
+        in_specs=[
+            col_spec(R), col_spec(R), col_spec(R), col_spec(R), col_spec(R),
+            col_spec(1), col_spec(H), col_spec(1),
+        ],
+        out_specs=(col_spec(1), col_spec(1)),
+        out_shape=(
+            jax.ShapeDtypeStruct((1, B), jnp.float32),
+            jax.ShapeDtypeStruct((1, B), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((R, LANES), jnp.float32),  # m1
+            pltpu.VMEM((R, LANES), jnp.float32),  # i1
+            pltpu.VMEM((R, LANES), jnp.float32),  # d1
+            pltpu.VMEM((R, LANES), jnp.float32),  # m2
+            pltpu.VMEM((R, LANES), jnp.float32),  # i2
+            pltpu.VMEM((R, LANES), jnp.float32),  # d2
+            pltpu.VMEM((R, LANES), jnp.int32),    # hap diagonal
+            pltpu.VMEM((1, LANES), jnp.float32),  # D row-0 boundary
+        ],
+        cost_estimate=_bucket_cost(params),
+        interpret=params.interpret,
+    )(read_codes, p_err, p_ins, p_del, p_cont, read_lens, hap_codes,
+      hap_lens)
+
+    logp = jnp.where(
+        acc > 0.0,
+        jnp.log10(jnp.maximum(acc, jnp.finfo(jnp.float32).tiny))
+        - shift - LOG10_INITIAL,
+        -jnp.inf)
+    return logp[0], shift[0]
+
+
+@functools.partial(jax.jit, static_argnames=("R", "H"))
+def _pairhmm_jax(read_codes, p_err, p_ins, p_del, p_cont, rlen, hlen,
+                 hap_codes, *, R: int, H: int):
+    """Portable wavefront (lax.scan over diagonals) — same math as the
+    Pallas kernel, used on CPU and as a cross-check."""
+    f32 = jnp.float32
+    B = read_codes.shape[1]
+    a_mm = 1.0 - jnp.minimum(1.0, p_ins + p_del)
+    a_im = 1.0 - p_cont
+    rvec = jnp.arange(R, dtype=jnp.int32).reshape(R, 1)
+    hlen_f = hlen.astype(f32)
+    boundary0 = (f32(2.0) ** 120) / jnp.maximum(hlen_f, 1.0)
+    zero_row = jnp.zeros((1, B), f32)
+    zeros = jnp.zeros((R, B), f32)
+
+    def shift(x, fill):
+        return jnp.concatenate([fill, x[:-1]], axis=0)
+
+    def step(carry, d):
+        m1, i1, d1, m2, i2, d2, hapd, acc, sh, bound = carry
+        new_hap = jax.lax.dynamic_slice(
+            hap_codes, (jnp.clip(d - 2, 0, H - 1), 0), (1, B))
+        hapd = shift(hapd, new_hap)
+        jvec = d - rvec - 1
+        live = (jvec >= 1).astype(f32)
+        match = (read_codes == hapd) | (read_codes >= 4) | (hapd >= 4)
+        prior = jnp.where(match, 1.0 - p_err, p_err / 3.0)
+        m_new = prior * (shift(m2, zero_row) * a_mm
+                         + (shift(i2, zero_row) + shift(d2, bound)) * a_im) * live
+        i_new = (shift(m1, zero_row) * p_ins + shift(i1, zero_row) * p_cont) * live
+        d_new = (m1 * p_del + d1 * p_cont) * live
+        amask = ((rvec + 1 == rlen) & (jvec >= 1) & (jvec <= hlen)).astype(f32)
+        acc = acc + jnp.sum((m_new + i_new) * amask, axis=0, keepdims=True)
+
+        def rescale(args):
+            m1, i1, d1, m2, i2, d2, acc, sh, bound = args
+            m = jnp.maximum(
+                jnp.max(jnp.abs(m1) + jnp.abs(i1) + jnp.abs(d1), 0, keepdims=True),
+                jnp.max(jnp.abs(m2) + jnp.abs(i2) + jnp.abs(d2), 0, keepdims=True))
+            need = (m > 0.0) & (m < RESCALE_THRESH)
+            scale = jnp.where(need, f32(RESCALE_FACTOR), f32(1.0))
+            sh = sh + jnp.where(need, f32(RESCALE_SHIFT_LOG10), f32(0.0))
+            return (m1 * scale, i1 * scale, d1 * scale, m2 * scale,
+                    i2 * scale, d2 * scale, acc * scale, sh, bound * scale)
+
+        args = (m_new, i_new, d_new, m1, i1, d1, acc, sh, bound)
+        m1, i1, d1, m2, i2, d2, acc, sh, bound = jax.lax.cond(
+            d % RESCALE_EVERY == 0, rescale, lambda a: a, args)
+        return (m1, i1, d1, m2, i2, d2, hapd, acc, sh, bound), None
+
+    init = (zeros, zeros, zeros, zeros, zeros, zeros,
+            jnp.zeros((R, B), jnp.int32), jnp.zeros((1, B), f32),
+            jnp.zeros((1, B), f32), boundary0)
+    (m1, i1, d1, m2, i2, d2, hapd, acc, sh, bound), _ = jax.lax.scan(
+        step, init, jnp.arange(1, R + H + 1))
+    logp = jnp.where(
+        acc > 0.0,
+        jnp.log10(jnp.maximum(acc, jnp.finfo(f32).tiny)) - sh - LOG10_INITIAL,
+        -jnp.inf)
+    return logp[0]
+
+
+def _phred_to_prob(q: jnp.ndarray) -> jnp.ndarray:
+    return jnp.power(10.0, -q.astype(jnp.float32) / 10.0)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def pairhmm_logp(read_codes, base_q, ins_q, del_q, gcp, read_lens,
+                 hap_codes, hap_lens,
+                 params: PairHMMParams | None = None) -> jnp.ndarray:
+    """log10 P(read|hap) for a batch of pairs.
+
+    Args are batch-major numpy/JAX arrays: reads (B, R') uint8 codes and
+    phred arrays, haps (B, H') codes, plus per-pair lengths. They are padded
+    to the static bucket (params.max_read_len/max_hap_len), transposed to
+    time-major, and batched to a multiple of 128 lanes.
+    """
+    if params is None:
+        params = PairHMMParams(
+            backend="pallas" if jax.default_backend() == "tpu" else "jax")
+    B, Rin = read_codes.shape
+    Hin = hap_codes.shape[1]
+    R = _round_up(max(Rin, 8), 8)
+    H = max(Hin, 8)
+    if R > params.max_read_len:
+        raise ValueError(f"read bucket {R} exceeds {params.max_read_len}")
+    if Hin > params.max_hap_len:
+        raise ValueError(f"hap bucket {Hin} exceeds {params.max_hap_len}")
+    R = params.max_read_len
+    H = params.max_hap_len
+    Bp = _round_up(max(B, 1), LANES)
+
+    def pad2(x, rows, fill=0):
+        x = np.asarray(x)
+        out = np.full((Bp, rows), fill, dtype=x.dtype)
+        out[:B, :x.shape[1]] = x
+        return out.T  # time-major
+
+    read_t = pad2(read_codes.astype(np.int32), R, 4)
+    hap_t = pad2(hap_codes.astype(np.int32), H, 4)
+    perr_t = _phred_to_prob(jnp.asarray(pad2(base_q, R)))
+    pins_t = _phred_to_prob(jnp.asarray(pad2(ins_q, R)))
+    pdel_t = _phred_to_prob(jnp.asarray(pad2(del_q, R)))
+    pcont_t = _phred_to_prob(jnp.asarray(pad2(gcp, R)))
+
+    def pad1(x, fill):
+        out = np.full((Bp,), fill, dtype=np.int32)
+        out[:B] = np.asarray(x, dtype=np.int32)
+        return out.reshape(1, Bp)
+
+    rlen_t = pad1(read_lens, 1)
+    hlen_t = pad1(hap_lens, 1)
+
+    if params.backend == "jax":
+        logp = _pairhmm_jax(
+            jnp.asarray(read_t), perr_t, pins_t, pdel_t, pcont_t,
+            jnp.asarray(rlen_t), jnp.asarray(hlen_t), jnp.asarray(hap_t),
+            R=R, H=H)
+    else:
+        logp, _ = _pairhmm_device(
+            jnp.asarray(read_t), perr_t, pins_t, pdel_t, pcont_t,
+            jnp.asarray(rlen_t), jnp.asarray(hap_t), jnp.asarray(hlen_t),
+            params=params)
+    return logp[:B]
