@@ -3,15 +3,26 @@
 Multi-chip sharding paths are validated the way the reference validates
 multi-host paths without a cluster (SURVEY.md §4): here by simulating an
 8-device mesh on CPU via ``xla_force_host_platform_device_count``.
+
+Note: the session environment pre-imports jax at interpreter boot with the
+``axon`` TPU platform pinned in ``jax.config.jax_platforms``; mutating
+``JAX_PLATFORMS`` is therefore a no-op, and initializing the axon backend
+from tests would claim the (single, shared) TPU tunnel — minutes of
+latency.  We must update the live jax config before any backend init.
 """
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"  # force: the session env pins "axon" (TPU)
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
-os.environ.setdefault("JAX_ENABLE_X64", "0")
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402  (already imported at boot by sitecustomize)
+
+jax.config.update("jax_platforms", "cpu")
+assert not jax._src.xla_bridge.backends_are_initialized(), \
+    "jax backends initialized before conftest could force CPU"
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
