@@ -1,0 +1,456 @@
+"""BWA-MEM-class read aligner: minimizer seeding → diagonal chaining →
+batched Smith-Waterman extension on TPU → pairing.
+
+This subsystem replaces the external ``bwa-flow mem`` engine the reference
+forks (SURVEY.md §3.1: everything below ``system("mpirun ... bwa-flow mem")``
+at src/Executor.cpp:276 is outside the reference repo; here it is in-repo).
+The division of labor is TPU-first:
+
+* **host (numpy, later C++)**: k-mer/minimizer index build and lookup,
+  diagonal chaining, candidate window gather, CIGAR traceback, pairing —
+  irregular, branchy, data-dependent control flow;
+* **device (Pallas)**: the O(R·W) affine Smith-Waterman extension of every
+  candidate, batched across lanes (``ops/smith_waterman.py``) — 99% of the
+  arithmetic.
+
+Seeding uses minimizers (Roberts et al., the minimap2 scheme) rather than
+an FM-index: hash-sorted arrays with ``searchsorted`` lookups are
+array-shaped and vectorize, where FM-index backward search is a pointer
+chase.  The FM-index is not required for BWA-class accuracy at short-read
+lengths with dense minimizers (k=15..21, w small).
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from .io.dna import BASE_N, revcomp_codes
+from .io.sam import (
+    CIGAR_D, CIGAR_I, CIGAR_M, CIGAR_S,
+    FLAG_DUP, FLAG_MATE_REVERSE, FLAG_MATE_UNMAPPED, FLAG_PAIRED,
+    FLAG_PROPER_PAIR, FLAG_READ1, FLAG_READ2, FLAG_REVERSE, FLAG_UNMAPPED,
+    Cigar, SamHeader, SamRecord, cigar_to_str,
+)
+from .ops.smith_waterman import SWBucket, SWParams, sw_extend_batch
+from .ops.sw_ref import SWResult
+
+
+# ---------------------------------------------------------------------------
+# minimizer index
+# ---------------------------------------------------------------------------
+
+def _mix64(h: np.ndarray) -> np.ndarray:
+    """Invertible 64-bit mix (splitmix-style) for k-mer hashing."""
+    h = h.astype(np.uint64, copy=True)
+    h ^= h >> np.uint64(33)
+    h *= np.uint64(0xFF51AFD7ED558CCD)
+    h ^= h >> np.uint64(33)
+    h *= np.uint64(0xC4CEB9FE1A85EC53)
+    h ^= h >> np.uint64(33)
+    return h
+
+
+def _pack_kmers(codes: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """All k-mers of a code sequence, 2-bit packed; mask marks N-free ones."""
+    L = len(codes)
+    n = L - k + 1
+    if n <= 0:
+        return (np.zeros(0, np.uint64), np.zeros(0, bool))
+    c = codes.astype(np.uint64)
+    val = np.zeros(n, dtype=np.uint64)
+    ok = np.ones(n, dtype=bool)
+    for i in range(k):
+        ci = c[i:n + i]
+        val = (val << np.uint64(2)) | (ci & np.uint64(3))
+        ok &= codes[i:n + i] != BASE_N
+    return val, ok
+
+
+def _revcomp_kmers(kmers: np.ndarray, k: int) -> np.ndarray:
+    """Reverse complement of 2-bit packed k-mers, vectorized."""
+    x = ~kmers  # complement: A(00)<->T(11), C(01)<->G(10) == bitwise NOT
+    # reverse 2-bit groups within 2k bits
+    r = np.zeros_like(x)
+    for i in range(k):
+        r = (r << np.uint64(2)) | ((x >> np.uint64(2 * i)) & np.uint64(3))
+    return r
+
+
+def _canonical(kmers: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """(canonical hash, is_reverse_strand) per k-mer."""
+    rc = _revcomp_kmers(kmers, k)
+    fwd_h = _mix64(kmers)
+    rc_h = _mix64(rc)
+    use_rc = rc_h < fwd_h
+    return np.where(use_rc, rc_h, fwd_h), use_rc
+
+
+def _minimizers(codes: np.ndarray, k: int, w: int
+                ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(hash, position, strand) of the w-window minimizers of a sequence."""
+    kmers, ok = _pack_kmers(codes, k)
+    n = len(kmers)
+    if n == 0:
+        return (np.zeros(0, np.uint64), np.zeros(0, np.int64),
+                np.zeros(0, bool))
+    h, strand = _canonical(kmers, k)
+    h = np.where(ok, h, np.uint64(0xFFFFFFFFFFFFFFFF))
+    if n <= w:
+        idx = np.array([int(np.argmin(h))])
+    else:
+        win = np.lib.stride_tricks.sliding_window_view(h, w)
+        idx = np.unique(win.argmin(axis=1) + np.arange(n - w + 1))
+    keep = h[idx] != np.uint64(0xFFFFFFFFFFFFFFFF)
+    idx = idx[keep]
+    return h[idx], idx.astype(np.int64), strand[idx]
+
+
+@dataclasses.dataclass
+class IndexParams:
+    k: int = 17
+    w: int = 7
+    max_hits: int = 64  # drop repetitive minimizers with more hits
+
+
+class MinimizerIndex:
+    """Sorted-array minimizer index over a multi-contig reference."""
+
+    def __init__(self, contigs: list[tuple[str, np.ndarray]],
+                 params: IndexParams = IndexParams()):
+        self.params = params
+        self.contig_names = [name for name, _ in contigs]
+        self.contig_codes = [codes for _, codes in contigs]
+        self.contig_lengths = [len(c) for c in self.contig_codes]
+        # global coordinate space: contig i starts at offsets[i]
+        self.offsets = np.concatenate(
+            [[0], np.cumsum(self.contig_lengths)]).astype(np.int64)
+        self.genome = (np.concatenate(self.contig_codes)
+                       if self.contig_codes else np.zeros(0, np.uint8))
+
+        hashes, positions, strands = [], [], []
+        for tid, codes in enumerate(self.contig_codes):
+            h, pos, s = _minimizers(codes, params.k, params.w)
+            hashes.append(h)
+            positions.append(pos + self.offsets[tid])
+            strands.append(s)
+        h = np.concatenate(hashes) if hashes else np.zeros(0, np.uint64)
+        pos = np.concatenate(positions) if positions else np.zeros(0, np.int64)
+        s = np.concatenate(strands) if strands else np.zeros(0, bool)
+        order = np.argsort(h, kind="stable")
+        self.hashes = h[order]
+        self.positions = pos[order]
+        self.strands = s[order]
+
+    @classmethod
+    def from_fasta(cls, fasta, params: IndexParams = IndexParams()):
+        contigs = [(c.name, fasta.contig_codes(c.name)) for c in fasta.dict]
+        return cls(contigs, params)
+
+    def tid_of(self, gpos: int) -> tuple[int, int]:
+        """Global position → (tid, local position)."""
+        tid = int(np.searchsorted(self.offsets, gpos, side="right")) - 1
+        return tid, int(gpos - self.offsets[tid])
+
+    def lookup(self, query_hashes: np.ndarray
+               ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """For each query hash: (query_idx, ref_gpos, ref_strand) hit arrays."""
+        lo = np.searchsorted(self.hashes, query_hashes, side="left")
+        hi = np.searchsorted(self.hashes, query_hashes, side="right")
+        counts = hi - lo
+        counts = np.where(counts > self.params.max_hits, 0, counts)
+        qidx = np.repeat(np.arange(len(query_hashes)), counts)
+        if len(qidx) == 0:
+            return (qidx, np.zeros(0, np.int64), np.zeros(0, bool))
+        flat = np.concatenate(
+            [np.arange(l, l + c) for l, c in zip(lo, counts) if c > 0])
+        return qidx, self.positions[flat], self.strands[flat]
+
+
+# ---------------------------------------------------------------------------
+# seeding + chaining
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class Candidate:
+    """One chained candidate placement of a read (possibly reverse strand)."""
+    gdiag: int          # global ref position of read base 0
+    is_rev: bool
+    nseeds: int
+    span: int           # read-bp covered by seeds
+
+
+@dataclasses.dataclass
+class AlignerParams:
+    index: IndexParams = dataclasses.field(default_factory=IndexParams)
+    sw: SWParams = dataclasses.field(default_factory=SWParams)
+    max_candidates: int = 4
+    diag_band: int = 24       # chain tolerance in diagonal units
+    window_pad: int = 32      # ref window slack each side for indels
+    min_seeds: int = 1
+    max_insert: int = 1000    # proper-pair insert bound
+    min_insert: int = 0
+    unpaired_penalty: int = 17  # score penalty when mates can't pair (bwa -U)
+
+
+def find_candidates(read_codes: np.ndarray, index: MinimizerIndex,
+                    params: AlignerParams) -> list[Candidate]:
+    # seeding parameters always come from the index that was built — a
+    # query at a different k/w can only match through packed-hash collisions
+    k, w = index.params.k, index.params.w
+    h, rpos, rstrand = _minimizers(read_codes, k, w)
+    if len(h) == 0:
+        return []
+    qidx, gpos, gstrand = index.lookup(h)
+    if len(qidx) == 0:
+        return []
+    L = len(read_codes)
+    rp = rpos[qidx]
+    rev = gstrand != rstrand[qidx]
+    # diagonal: global position where read base 0 sits
+    # forward: gpos - rpos ; reverse: read rc aligns, kmer at read pos p
+    # maps to rc-read pos L - k - p
+    diag = np.where(rev, gpos - (L - k - rp), gpos - rp)
+
+    cands: list[Candidate] = []
+    for is_rev in (False, True):
+        sel = rev == is_rev
+        if not sel.any():
+            continue
+        d = np.sort(diag[sel])
+        rcov = rp[sel]
+        # cluster diagonals within band
+        order = np.argsort(diag[sel], kind="stable")
+        ds = diag[sel][order]
+        rs = rcov[order]
+        start = 0
+        for i in range(1, len(ds) + 1):
+            if i == len(ds) or ds[i] - ds[i - 1] > params.diag_band:
+                grp_d = ds[start:i]
+                grp_r = rs[start:i]
+                if len(grp_d) >= params.min_seeds:
+                    span = int(grp_r.max() - grp_r.min()) + k
+                    cands.append(Candidate(
+                        gdiag=int(np.median(grp_d)), is_rev=is_rev,
+                        nseeds=len(grp_d), span=span))
+                start = i
+    cands.sort(key=lambda c: (-c.nseeds, -c.span, c.gdiag))
+    return cands[:params.max_candidates]
+
+
+# ---------------------------------------------------------------------------
+# batch alignment engine
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class Alignment:
+    """Single-end alignment outcome (pre-SAM)."""
+    mapped: bool
+    tid: int = -1
+    pos: int = -1            # 0-based contig-local leftmost
+    is_rev: bool = False
+    score: int = 0
+    sub_score: int = 0       # best competing candidate score
+    mapq: int = 0
+    cigar: Cigar = dataclasses.field(default_factory=list)
+    nm: int = 0
+    read_len: int = 0
+
+
+def _edit_distance(read: np.ndarray, window: np.ndarray, res: SWResult) -> int:
+    """NM tag: mismatches + gap bases along the aligned path."""
+    nm = 0
+    # the CIGAR covers the whole read (leading S spans [0, read_start))
+    i, j = 0, res.ref_start
+    for op, n in res.cigar:
+        if op == CIGAR_M:
+            nm += int((read[i:i + n] != window[j:j + n]).sum())
+            i += n
+            j += n
+        elif op == CIGAR_I:
+            nm += n
+            i += n
+        elif op == CIGAR_D:
+            nm += n
+            j += n
+        elif op == CIGAR_S:
+            i += n
+    return nm
+
+
+def _mapq(score: int, sub: int, read_len: int, match: int) -> int:
+    """Deterministic BWA-flavor mapping quality from score separation."""
+    if score <= 0:
+        return 0
+    best = read_len * match
+    if sub >= score:
+        return 0
+    q = 6.02 * (score - sub)
+    q *= min(1.0, score / best)  # identity damping
+    return int(max(0, min(60, round(q))))
+
+
+class AlignerEngine:
+    """Aligns batches of reads against a MinimizerIndex."""
+
+    def __init__(self, index: MinimizerIndex, params: AlignerParams = None,
+                 bucket: SWBucket | None = None):
+        self.index = index
+        self.params = params or AlignerParams()
+        self.bucket = bucket
+
+    def _extend(self, jobs: list[tuple[np.ndarray, int, int]]
+                ) -> list[SWResult]:
+        """jobs: (read_codes, win_gstart, win_len) → SW results (batched)."""
+        if not jobs:
+            return []
+        bucket = self.bucket or SWBucket()
+        R = bucket.max_read_len
+        W = bucket.max_win_len
+        B = len(jobs)
+        reads = np.full((B, R), 4, np.uint8)
+        wins = np.full((B, W), 4, np.uint8)
+        rl = np.zeros(B, np.int32)
+        wl = np.zeros(B, np.int32)
+        genome = self.index.genome
+        for b, (codes, gstart, wlen) in enumerate(jobs):
+            L = min(len(codes), R)
+            reads[b, :L] = codes[:L]
+            rl[b] = L
+            wlen = min(wlen, W)
+            wins[b, :wlen] = genome[gstart:gstart + wlen]
+            wl[b] = wlen
+        return sw_extend_batch(reads, rl, wins, wl, self.params.sw,
+                               bucket=self.bucket)
+
+    def align_batch(self, codes: np.ndarray, lengths: np.ndarray
+                    ) -> list[Alignment]:
+        """Align a padded batch (B, L); returns best alignment per read."""
+        p = self.params
+        B = codes.shape[0]
+        cand_lists: list[list[Candidate]] = []
+        jobs: list[tuple[np.ndarray, int, int]] = []
+        job_owner: list[tuple[int, int]] = []  # (read, candidate index)
+        genome_len = len(self.index.genome)
+
+        for b in range(B):
+            rcodes = codes[b, :lengths[b]]
+            cands = find_candidates(rcodes, self.index, p)
+            cand_lists.append(cands)
+            for ci, c in enumerate(cands):
+                qcodes = revcomp_codes(rcodes) if c.is_rev else rcodes
+                gstart = max(0, c.gdiag - p.window_pad)
+                wlen = min(len(qcodes) + 2 * p.window_pad,
+                           genome_len - gstart)
+                if wlen <= 0:
+                    continue
+                jobs.append((qcodes, gstart, wlen))
+                job_owner.append((b, ci))
+
+        results = self._extend(jobs)
+
+        best: list[Alignment] = [
+            Alignment(mapped=False, read_len=int(lengths[b]))
+            for b in range(B)]
+        scores: list[list[tuple[int, SWResult, Candidate, int]]] = [
+            [] for _ in range(B)]
+        for (b, ci), res, (qcodes, gstart, wlen) in zip(
+                job_owner, results, jobs):
+            if res.score > 0:
+                scores[b].append((res.score, res, cand_lists[b][ci], gstart))
+
+        for b in range(B):
+            if not scores[b]:
+                continue
+            scores[b].sort(key=lambda t: (-t[0], t[3]))
+            score, res, cand, gstart = scores[b][0]
+            sub = scores[b][1][0] if len(scores[b]) > 1 else 0
+            gpos = gstart + res.ref_start
+            tid, pos = self.index.tid_of(gpos)
+            rcodes = codes[b, :lengths[b]]
+            qcodes = revcomp_codes(rcodes) if cand.is_rev else rcodes
+            window = self.index.genome[gstart:gstart + res.ref_end]
+            nm = _edit_distance(qcodes, window, res)
+            best[b] = Alignment(
+                mapped=True, tid=tid, pos=pos, is_rev=cand.is_rev,
+                score=score, sub_score=sub,
+                mapq=_mapq(score, sub, int(lengths[b]), p.sw.match),
+                cigar=list(res.cigar), nm=nm, read_len=int(lengths[b]))
+        return best
+
+
+# ---------------------------------------------------------------------------
+# pairing + SAM record emission
+# ---------------------------------------------------------------------------
+
+def _pair_flags(a1: Alignment, a2: Alignment, params: AlignerParams
+                ) -> tuple[int, int, int]:
+    """(flag1, flag2, tlen1). Proper pair = FR orientation within insert."""
+    f1 = FLAG_PAIRED | FLAG_READ1
+    f2 = FLAG_PAIRED | FLAG_READ2
+    tlen = 0
+    if not a1.mapped:
+        f1 |= FLAG_UNMAPPED
+        f2 |= FLAG_MATE_UNMAPPED
+    if not a2.mapped:
+        f2 |= FLAG_UNMAPPED
+        f1 |= FLAG_MATE_UNMAPPED
+    if a1.is_rev:
+        f1 |= FLAG_REVERSE
+        f2 |= FLAG_MATE_REVERSE
+    if a2.is_rev:
+        f2 |= FLAG_REVERSE
+        f1 |= FLAG_MATE_REVERSE
+    if a1.mapped and a2.mapped and a1.tid == a2.tid and \
+            a1.is_rev != a2.is_rev:
+        left, right = (a1, a2) if a1.pos <= a2.pos else (a2, a1)
+        end_right = right.pos + sum(
+            n for op, n in right.cigar if op in (CIGAR_M, CIGAR_D))
+        span = end_right - left.pos
+        if (not left.is_rev and right.is_rev and
+                params.min_insert <= span <= params.max_insert):
+            f1 |= FLAG_PROPER_PAIR
+            f2 |= FLAG_PROPER_PAIR
+            tlen = span if a1.pos <= a2.pos else -span
+    return f1, f2, tlen
+
+
+def make_sam_records(name: str, seq1: str, qual1: str, a1: Alignment,
+                     seq2: str | None = None, qual2: str | None = None,
+                     a2: Alignment | None = None,
+                     params: AlignerParams = AlignerParams(),
+                     read_group: str | None = None
+                     ) -> list[SamRecord]:
+    """Emit SAM record(s) for a read or read pair."""
+    from .io.dna import encode_seq, decode_seq
+
+    def one(seq, qual, a: Alignment, flag: int, mate: Alignment | None,
+            tlen: int) -> SamRecord:
+        if a.mapped and a.is_rev:
+            seq = decode_seq(revcomp_codes(encode_seq(seq)))
+            qual = qual[::-1]
+        rec = SamRecord(
+            qname=name, flag=flag,
+            tid=a.tid if a.mapped else -1,
+            pos=a.pos if a.mapped else -1,
+            mapq=a.mapq if a.mapped else 0,
+            cigar=a.cigar if a.mapped else [],
+            mtid=(mate.tid if mate and mate.mapped else -1),
+            mpos=(mate.pos if mate and mate.mapped else -1),
+            tlen=tlen, seq=seq, qual=qual)
+        if a.mapped:
+            rec.set_tag("NM", "i", a.nm)
+            rec.set_tag("AS", "i", a.score)
+            rec.set_tag("XS", "i", a.sub_score)
+        if read_group:
+            rec.set_tag("RG", "Z", read_group)
+        return rec
+
+    if seq2 is None or a2 is None:
+        flag = 0 if a1.mapped else FLAG_UNMAPPED
+        if a1.mapped and a1.is_rev:
+            flag |= FLAG_REVERSE
+        return [one(seq1, qual1, a1, flag, None, 0)]
+    f1, f2, tlen = _pair_flags(a1, a2, params)
+    return [one(seq1, qual1, a1, f1, a2, tlen),
+            one(seq2, qual2, a2, f2, a1, -tlen)]

@@ -1,0 +1,177 @@
+"""Aligner engine tests: simulated reads must map back to their origin.
+
+This is the in-repo analog of the reference's compareBAM gate
+(scripts/compareBAM.sh): ground truth is the simulation, the gate is
+position/strand/CIGAR recovery.
+"""
+import numpy as np
+import pytest
+
+from falcon_genome_tpu.aligner import (
+    AlignerEngine, AlignerParams, IndexParams, MinimizerIndex,
+    find_candidates, make_sam_records, _minimizers, _pack_kmers,
+    _revcomp_kmers)
+from falcon_genome_tpu.io.dna import decode_seq, encode_seq, revcomp_codes
+from falcon_genome_tpu.io.sam import (
+    FLAG_PROPER_PAIR, FLAG_REVERSE, FLAG_UNMAPPED, cigar_to_str)
+from falcon_genome_tpu.ops.smith_waterman import SWBucket
+
+BUCKET = SWBucket(max_read_len=128, max_win_len=256, backend="jax")
+
+
+@pytest.fixture(scope="module")
+def genome(  ):
+    rng = np.random.default_rng(7)
+    chr1 = rng.integers(0, 4, 5000).astype(np.uint8)
+    chr2 = rng.integers(0, 4, 3000).astype(np.uint8)
+    return [("chr1", chr1), ("chr2", chr2)]
+
+
+@pytest.fixture(scope="module")
+def index(genome):
+    return MinimizerIndex(genome, IndexParams(k=15, w=5))
+
+
+@pytest.fixture(scope="module")
+def engine(index):
+    return AlignerEngine(index, AlignerParams(), bucket=BUCKET)
+
+
+def sample_reads(genome, rng, n, read_len=100, error=0.0, revcomp_frac=0.5):
+    """Returns (codes, lengths, truth=(contig, pos, is_rev))."""
+    codes = np.zeros((n, read_len), dtype=np.uint8)
+    truth = []
+    for i in range(n):
+        tid = rng.integers(0, len(genome))
+        name, seq = genome[tid]
+        pos = rng.integers(0, len(seq) - read_len)
+        r = seq[pos:pos + read_len].copy()
+        nerr = rng.binomial(read_len, error)
+        for _ in range(nerr):
+            p = rng.integers(0, read_len)
+            r[p] = (r[p] + rng.integers(1, 4)) % 4
+        is_rev = rng.random() < revcomp_frac
+        codes[i] = revcomp_codes(r) if is_rev else r
+        truth.append((name, int(pos), is_rev))
+    return codes, np.full(n, read_len, np.int32), truth
+
+
+class TestKmers:
+    def test_revcomp_kmers(self):
+        seq = encode_seq("ACGTTGCA")
+        k = 4
+        kmers, ok = _pack_kmers(seq, k)
+        rc = _revcomp_kmers(kmers, k)
+        # ACGT revcomp is ACGT (palindrome)
+        assert rc[0] == kmers[0]
+        # GTTG -> CAAC
+        want, _ = _pack_kmers(encode_seq("CAAC"), 4)
+        assert rc[2] == want[0]
+
+    def test_minimizers_cover_sequence(self, rng):
+        seq = rng.integers(0, 4, 500).astype(np.uint8)
+        h, pos, strand = _minimizers(seq, 15, 5)
+        assert len(h) > 20           # dense enough
+        assert (np.diff(pos) > 0).all()
+        assert (np.diff(pos) <= 5 + 15).all()  # no gap larger than w+k
+
+    def test_minimizers_strand_symmetric(self, rng):
+        seq = rng.integers(0, 4, 200).astype(np.uint8)
+        h1, _, _ = _minimizers(seq, 15, 5)
+        h2, _, _ = _minimizers(revcomp_codes(seq), 15, 5)
+        assert set(h1.tolist()) == set(h2.tolist())
+
+    def test_n_bases_excluded(self):
+        seq = np.full(60, 4, dtype=np.uint8)  # all N
+        h, pos, strand = _minimizers(seq, 15, 5)
+        assert len(h) == 0
+
+
+class TestCandidates:
+    def test_exact_read_found(self, index, genome):
+        seq = genome[0][1]
+        read = seq[1000:1100]
+        cands = find_candidates(read, index, AlignerParams())
+        assert cands
+        assert abs(cands[0].gdiag - 1000) <= 2
+        assert not cands[0].is_rev
+
+    def test_revcomp_read_found(self, index, genome):
+        seq = genome[1][1]
+        read = revcomp_codes(seq[500:600])
+        cands = find_candidates(read, index, AlignerParams())
+        assert cands
+        assert cands[0].is_rev
+        # chr2 offset is 5000
+        assert abs(cands[0].gdiag - 5500) <= 2
+
+
+class TestAlignBatch:
+    def test_exact_reads(self, engine, genome, rng):
+        codes, lens, truth = sample_reads(genome, rng, 24)
+        res = engine.align_batch(codes, lens)
+        for a, (contig, pos, is_rev) in zip(res, truth):
+            assert a.mapped
+            assert engine.index.contig_names[a.tid] == contig
+            assert a.pos == pos
+            assert a.is_rev == is_rev
+            assert cigar_to_str(a.cigar) == "100M"
+            assert a.nm == 0
+            assert a.score == 100
+            assert a.mapq >= 30
+
+    def test_reads_with_errors(self, engine, genome, rng):
+        codes, lens, truth = sample_reads(genome, rng, 24, error=0.02)
+        res = engine.align_batch(codes, lens)
+        mapped = sum(a.mapped for a in res)
+        assert mapped >= 23
+        correct = sum(
+            a.mapped and engine.index.contig_names[a.tid] == c and
+            abs(a.pos - p) <= 3 and a.is_rev == s
+            for a, (c, p, s) in zip(res, truth))
+        assert correct >= 22
+
+    def test_garbage_read_unmapped(self, engine, rng):
+        codes = rng.integers(0, 4, size=(1, 100)).astype(np.uint8)
+        res = engine.align_batch(codes, np.array([100], np.int32))
+        # random 100-mer almost surely has no 15-mer minimizer match chain
+        if res[0].mapped:
+            assert res[0].mapq <= 10
+
+    def test_deletion_read(self, engine, genome):
+        seq = genome[0][1]
+        read = np.concatenate([seq[2000:2050], seq[2055:2105]])
+        res = engine.align_batch(read.reshape(1, -1),
+                                 np.array([100], np.int32))
+        a = res[0]
+        assert a.mapped and a.pos == 2000
+        assert "D" in cigar_to_str(a.cigar)
+        assert a.nm == 5
+
+
+class TestSamEmission:
+    def test_paired_proper(self, engine, genome):
+        seq = genome[0][1]
+        r1 = seq[3000:3100]
+        r2 = revcomp_codes(seq[3200:3300])
+        res = engine.align_batch(
+            np.stack([r1, r2]), np.full(2, 100, np.int32))
+        recs = make_sam_records(
+            "frag1", decode_seq(r1), "I" * 100, res[0],
+            decode_seq(r2), "I" * 100, res[1], read_group="rg1")
+        assert len(recs) == 2
+        assert recs[0].flag & FLAG_PROPER_PAIR
+        assert recs[1].flag & FLAG_PROPER_PAIR
+        assert recs[1].flag & FLAG_REVERSE
+        assert recs[0].tlen == 300
+        assert recs[1].tlen == -300
+        assert recs[0].get_tag("RG") == "rg1"
+        # reverse mate's stored seq is the reference-forward orientation
+        assert recs[1].seq == decode_seq(seq[3200:3300])
+
+    def test_unmapped_single(self):
+        from falcon_genome_tpu.aligner import Alignment
+        rec, = make_sam_records("r", "ACGT", "IIII",
+                                Alignment(mapped=False, read_len=4))
+        assert rec.flag & FLAG_UNMAPPED
+        assert rec.tid == -1
