@@ -1,0 +1,302 @@
+"""Base-quality score recalibration (BQSR): covariate histogram + remap.
+
+Re-expresses the reference's BaseRecalibrator / GatherBqsrReports /
+PrintReads chain (SURVEY.md §2 row 14, src/workers/BQSRWorker.cpp) the TPU
+way: the hot loop is a pure reduction — a segmented histogram of
+(observations, errors) over covariate bins — accumulated on device with
+scatter-add and merged across shards/hosts by addition (a psum in the
+sharded path).  The gather step of the reference (BQSRGatherWorker merging
+per-contig tables, BQSRWorker.cpp:111-150) is exactly ``+`` on the
+histogram arrays.
+
+Covariates (GATK's standard set):
+  * read group
+  * reported base quality
+  * machine cycle (position in read, negative strand reversed)
+  * dinucleotide context (previous base + current base)
+
+The recalibrated quality is the additive hierarchical model
+(global shift → per-qual delta → cycle and context deltas), each level
+computed from Bayesian-smoothed empirical qualities.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .io.sam import CIGAR_D, CIGAR_I, CIGAR_M, CIGAR_S, SamRecord
+
+MAX_QUAL = 94
+MAX_CYCLE = 512           # cycle bins: [-256, 256) offset by 256
+N_CONTEXT = 16            # dinucleotide (prev, cur) 4x4
+MIN_USABLE_QUAL = 6       # GATK: bases below this are not recalibrated
+
+
+@dataclasses.dataclass
+class RecalTable:
+    """Per-read-group covariate histograms (observations & errors)."""
+    read_groups: list[str]
+    qual_obs: np.ndarray      # (nrg, MAX_QUAL)
+    qual_err: np.ndarray
+    cycle_obs: np.ndarray     # (nrg, MAX_QUAL, MAX_CYCLE)
+    cycle_err: np.ndarray
+    ctx_obs: np.ndarray       # (nrg, MAX_QUAL, N_CONTEXT)
+    ctx_err: np.ndarray
+
+    @classmethod
+    def zeros(cls, read_groups: list[str]) -> "RecalTable":
+        n = len(read_groups)
+        return cls(
+            read_groups,
+            np.zeros((n, MAX_QUAL)), np.zeros((n, MAX_QUAL)),
+            np.zeros((n, MAX_QUAL, MAX_CYCLE)),
+            np.zeros((n, MAX_QUAL, MAX_CYCLE)),
+            np.zeros((n, MAX_QUAL, N_CONTEXT)),
+            np.zeros((n, MAX_QUAL, N_CONTEXT)))
+
+    def __add__(self, other: "RecalTable") -> "RecalTable":
+        """Table gather = addition (ref BQSRGatherWorker)."""
+        assert self.read_groups == other.read_groups
+        return RecalTable(
+            self.read_groups,
+            *(getattr(self, f) + getattr(other, f)
+              for f in ("qual_obs", "qual_err", "cycle_obs", "cycle_err",
+                        "ctx_obs", "ctx_err")))
+
+    def save(self, path: str) -> str:
+        np.savez(path, read_groups=np.array(self.read_groups),
+                 **{f: getattr(self, f) for f in (
+                     "qual_obs", "qual_err", "cycle_obs", "cycle_err",
+                     "ctx_obs", "ctx_err")})
+        return path
+
+    @classmethod
+    def load(cls, path: str) -> "RecalTable":
+        z = np.load(path if path.endswith(".npz") else path + ".npz",
+                    allow_pickle=False)
+        return cls([str(s) for s in z["read_groups"]],
+                   z["qual_obs"], z["qual_err"], z["cycle_obs"],
+                   z["cycle_err"], z["ctx_obs"], z["ctx_err"])
+
+
+# ---------------------------------------------------------------------------
+# covariate extraction (host: walks CIGARs, emits flat covariate arrays)
+# ---------------------------------------------------------------------------
+
+def extract_covariates(records: list[SamRecord],
+                       ref_codes_by_tid: dict[int, np.ndarray],
+                       known_sites: set[tuple[int, int]] | None = None,
+                       rg_index: dict[str, int] | None = None
+                       ) -> dict[str, np.ndarray]:
+    """Flatten eligible bases of aligned reads into covariate arrays.
+
+    Returns dict of (n,) arrays: rg, qual, cycle, context, is_error.
+    Skips: unmapped/dup/secondary reads, soft-clipped bases, N bases,
+    quals < MIN_USABLE_QUAL, and known-site positions (the reference's
+    dbSNP masking, BQSRWorker.cpp known-sites inputs).
+    """
+    from .io.dna import encode_seq
+
+    known = known_sites or set()
+    rgs, quals, cycles, ctxs, errs = [], [], [], [], []
+    for rec in records:
+        if rec.is_unmapped or rec.is_duplicate or \
+                rec.flag & 0x900 or rec.seq in ("*", ""):
+            continue
+        ref = ref_codes_by_tid.get(rec.tid)
+        if ref is None:
+            continue
+        rg = 0
+        if rg_index is not None:
+            rg = rg_index.get(rec.get_tag("RG") or "", 0)
+        seq = encode_seq(rec.seq)
+        q = np.frombuffer(rec.qual.encode(), dtype=np.uint8) - 33
+        L = len(seq)
+        i, rpos = 0, rec.pos
+        for op, n in rec.cigar:
+            if op == CIGAR_M:
+                for t in range(n):
+                    base = seq[i + t]
+                    bq = int(q[i + t])
+                    if base == 4 or bq < MIN_USABLE_QUAL:
+                        continue
+                    if (rec.tid, rpos + t) in known:
+                        continue
+                    if rpos + t >= len(ref):
+                        continue
+                    cyc = (L - 1 - (i + t)) if rec.is_reverse else (i + t)
+                    prev_i = i + t + 1 if rec.is_reverse else i + t - 1
+                    if 0 <= prev_i < L and seq[prev_i] != 4:
+                        ctx = int(seq[prev_i]) * 4 + int(base)
+                    else:
+                        ctx = 0
+                    rgs.append(rg)
+                    quals.append(bq)
+                    cycles.append(min(cyc, MAX_CYCLE - 1))
+                    ctxs.append(ctx)
+                    errs.append(int(base != ref[rpos + t]))
+                i += n
+                rpos += n
+            elif op == CIGAR_I or op == CIGAR_S:
+                i += n
+            elif op == CIGAR_D:
+                rpos += n
+    return {
+        "rg": np.asarray(rgs, np.int32),
+        "qual": np.asarray(quals, np.int32),
+        "cycle": np.asarray(cycles, np.int32),
+        "context": np.asarray(ctxs, np.int32),
+        "is_error": np.asarray(errs, np.float32),
+    }
+
+
+# ---------------------------------------------------------------------------
+# device histogram (the hot reduction; shard-parallel, merged by +/psum)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("nrg",))
+def _histogram_device(rg, qual, cycle, context, is_error, weight, *, nrg):
+    ones = weight
+    qual_flat = rg * MAX_QUAL + qual
+    qual_obs = jnp.zeros(nrg * MAX_QUAL).at[qual_flat].add(ones)
+    qual_err = jnp.zeros(nrg * MAX_QUAL).at[qual_flat].add(ones * is_error)
+    cyc_flat = qual_flat * MAX_CYCLE + cycle
+    cycle_obs = jnp.zeros(nrg * MAX_QUAL * MAX_CYCLE).at[cyc_flat].add(ones)
+    cycle_err = jnp.zeros(nrg * MAX_QUAL * MAX_CYCLE).at[cyc_flat].add(
+        ones * is_error)
+    ctx_flat = qual_flat * N_CONTEXT + context
+    ctx_obs = jnp.zeros(nrg * MAX_QUAL * N_CONTEXT).at[ctx_flat].add(ones)
+    ctx_err = jnp.zeros(nrg * MAX_QUAL * N_CONTEXT).at[ctx_flat].add(
+        ones * is_error)
+    return (qual_obs.reshape(nrg, MAX_QUAL),
+            qual_err.reshape(nrg, MAX_QUAL),
+            cycle_obs.reshape(nrg, MAX_QUAL, MAX_CYCLE),
+            cycle_err.reshape(nrg, MAX_QUAL, MAX_CYCLE),
+            ctx_obs.reshape(nrg, MAX_QUAL, N_CONTEXT),
+            ctx_err.reshape(nrg, MAX_QUAL, N_CONTEXT))
+
+
+def accumulate_table(cov: dict[str, np.ndarray],
+                     read_groups: list[str]) -> RecalTable:
+    """Scatter-add the covariate arrays into a RecalTable on device."""
+    nrg = max(1, len(read_groups))
+    n = len(cov["rg"])
+    if n == 0:
+        return RecalTable.zeros(read_groups or ["default"])
+    out = _histogram_device(
+        jnp.asarray(cov["rg"]), jnp.asarray(cov["qual"]),
+        jnp.asarray(cov["cycle"]), jnp.asarray(cov["context"]),
+        jnp.asarray(cov["is_error"]),
+        jnp.ones(n, jnp.float32), nrg=nrg)
+    return RecalTable(read_groups or ["default"],
+                      *(np.asarray(a, np.float64) for a in out))
+
+
+# ---------------------------------------------------------------------------
+# recalibration model
+# ---------------------------------------------------------------------------
+
+def _phred(err_rate: np.ndarray) -> np.ndarray:
+    return -10.0 * np.log10(np.clip(err_rate, 1e-10, 1.0))
+
+
+def _empirical(obs: np.ndarray, err: np.ndarray) -> np.ndarray:
+    """Bayesian-smoothed empirical quality (GATK's +1/+2 style prior)."""
+    return _phred((err + 1.0) / (obs + 2.0))
+
+
+@dataclasses.dataclass
+class RecalModel:
+    """Additive hierarchical recalibration, queryable per base."""
+    table: RecalTable
+    global_delta: np.ndarray       # (nrg,)
+    qual_delta: np.ndarray         # (nrg, MAX_QUAL)
+    cycle_delta: np.ndarray        # (nrg, MAX_QUAL, MAX_CYCLE)
+    ctx_delta: np.ndarray          # (nrg, MAX_QUAL, N_CONTEXT)
+
+    @classmethod
+    def fit(cls, table: RecalTable) -> "RecalModel":
+        nrg = len(table.read_groups)
+        reported = np.arange(MAX_QUAL, dtype=np.float64)
+
+        # global: expected errors under reported quals vs observed
+        exp_err = (table.qual_obs *
+                   10.0 ** (-reported[None, :] / 10.0)).sum(axis=1)
+        tot_obs = table.qual_obs.sum(axis=1)
+        tot_err = table.qual_err.sum(axis=1)
+        emp_global = _empirical(tot_obs, tot_err)
+        rep_global = _phred((exp_err + 1.0) / (tot_obs + 2.0))
+        global_delta = emp_global - rep_global
+
+        emp_qual = _empirical(table.qual_obs, table.qual_err)
+        qual_delta = np.where(
+            table.qual_obs > 0,
+            emp_qual - (reported[None, :] + global_delta[:, None]),
+            0.0)
+
+        # base prediction after the first two levels: (nrg, MAX_QUAL)
+        base_q = reported[None, :] + global_delta[:, None] + qual_delta
+        emp_cycle = _empirical(table.cycle_obs, table.cycle_err)
+        cycle_delta = np.where(table.cycle_obs > 0,
+                               emp_cycle - base_q[:, :, None], 0.0)
+        emp_ctx = _empirical(table.ctx_obs, table.ctx_err)
+        ctx_delta = np.where(table.ctx_obs > 0,
+                             emp_ctx - base_q[:, :, None], 0.0)
+        return cls(table, global_delta, qual_delta, cycle_delta, ctx_delta)
+
+    def recalibrate(self, rg: np.ndarray, qual: np.ndarray,
+                    cycle: np.ndarray, context: np.ndarray) -> np.ndarray:
+        """Vectorized remap: arrays of covariates → new quals (int)."""
+        q = (qual.astype(np.float64)
+             + self.global_delta[rg]
+             + self.qual_delta[rg, qual]
+             + self.cycle_delta[rg, qual, cycle]
+             + self.ctx_delta[rg, qual, context])
+        out = np.clip(np.rint(q), 2, MAX_QUAL - 1).astype(np.int32)
+        return np.where(qual < MIN_USABLE_QUAL, qual, out)
+
+
+def apply_bqsr(records: list[SamRecord], model: RecalModel,
+               rg_index: dict[str, int] | None = None) -> list[SamRecord]:
+    """PrintReads/ApplyBQSR: rewrite per-base qualities through the model."""
+    from .io.dna import encode_seq
+
+    for rec in records:
+        if rec.seq in ("*", "") or rec.qual in ("*", ""):
+            continue
+        rg = 0
+        if rg_index is not None:
+            rg = rg_index.get(rec.get_tag("RG") or "", 0)
+        seq = encode_seq(rec.seq)
+        q = np.frombuffer(rec.qual.encode(), dtype=np.uint8).astype(
+            np.int32) - 33
+        L = len(seq)
+        idx = np.arange(L)
+        cyc = np.minimum(np.where(rec.is_reverse, L - 1 - idx, idx),
+                         MAX_CYCLE - 1)
+        prev_i = np.where(rec.is_reverse, idx + 1, idx - 1)
+        valid_prev = (prev_i >= 0) & (prev_i < L)
+        prev = np.where(valid_prev, seq[np.clip(prev_i, 0, L - 1)], 0)
+        ctx = np.where(valid_prev & (prev != 4),
+                       prev.astype(np.int32) * 4 +
+                       np.minimum(seq, 3).astype(np.int32), 0)
+        q_clip = np.clip(q, 0, MAX_QUAL - 1)
+        newq = model.recalibrate(np.full(L, rg), q_clip, cyc, ctx)
+        rec.qual = "".join(chr(int(x) + 33) for x in newq)
+    return records
+
+
+def baserecal_table(records: list[SamRecord],
+                    ref_codes_by_tid: dict[int, np.ndarray],
+                    read_groups: list[str],
+                    known_sites: set[tuple[int, int]] | None = None
+                    ) -> RecalTable:
+    """One-shot: extract covariates and accumulate the table."""
+    rg_index = {rg: i for i, rg in enumerate(read_groups)}
+    cov = extract_covariates(records, ref_codes_by_tid, known_sites,
+                             rg_index)
+    return accumulate_table(cov, read_groups)
