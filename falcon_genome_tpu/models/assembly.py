@@ -1,0 +1,140 @@
+"""Local de Bruijn assembly of candidate haplotypes.
+
+The GATK HaplotypeCaller step the reference accelerates only *around*
+(assembly stays on CPU even in the FPGA pipeline — the Blaze NAM serves
+PairHMM only, SURVEY.md §2 row 25).  The same split holds here: assembly is
+host-side, branchy graph code; its output feeds the PairHMM TPU kernel.
+
+Algorithm (GATK-flavored, simplified):
+* k-mer graph from the reads of an active region; the reference haplotype's
+  k-mers are always included (so the ref path always exists);
+* edges below a multiplicity threshold are pruned unless on the ref path;
+* haplotypes = all source→sink paths (bounded DFS); cyclic graphs retry
+  with a larger k, then fall back to the reference haplotype alone.
+"""
+from __future__ import annotations
+
+import dataclasses
+from collections import defaultdict
+
+import numpy as np
+
+from ..io.dna import decode_seq
+
+MAX_PATHS = 128
+MAX_HAPLOTYPES = 16
+
+
+@dataclasses.dataclass
+class AssemblyParams:
+    kmer_sizes: tuple[int, ...] = (25, 35)
+    min_edge_mult: int = 2      # prune threshold (GATK pruneFactor)
+    max_haplotypes: int = MAX_HAPLOTYPES
+
+
+@dataclasses.dataclass
+class AssemblyResult:
+    haplotypes: list[np.ndarray]     # uint8 code arrays; [0] is the ref
+    kmer_size: int
+    fallback: bool                   # True if assembly failed → ref only
+
+
+def _kmer_strs(codes: np.ndarray, k: int) -> list[bytes]:
+    b = bytes(codes)
+    return [b[i:i + k] for i in range(len(b) - k + 1)]
+
+
+def _build_graph(ref: np.ndarray, reads: list[np.ndarray], k: int,
+                 min_mult: int):
+    """(k-1)-mer node graph. Returns (edges: node -> {next_base: count},
+    ref_edges set) or None if ref too short."""
+    if len(ref) <= k:
+        return None, None
+    edges: dict[bytes, dict[int, int]] = defaultdict(lambda: defaultdict(int))
+    ref_edges: set[tuple[bytes, int]] = set()
+
+    def add_seq(codes: np.ndarray, is_ref: bool):
+        b = bytes(codes)
+        if len(b) < k:
+            return
+        for i in range(len(b) - k + 1):
+            if 4 in b[i:i + k]:
+                continue
+            node = b[i:i + k - 1]
+            nxt = b[i + k - 1]
+            edges[node][nxt] += 1
+            if is_ref:
+                ref_edges.add((node, nxt))
+
+    add_seq(ref, True)
+    for r in reads:
+        add_seq(r, False)
+
+    # prune low-multiplicity non-ref edges
+    pruned: dict[bytes, dict[int, int]] = {}
+    for node, outs in edges.items():
+        keep = {nb: c for nb, c in outs.items()
+                if c >= min_mult or (node, nb) in ref_edges}
+        if keep:
+            pruned[node] = keep
+    return pruned, ref_edges
+
+
+def _enumerate_paths(graph, source: bytes, sink: bytes, k: int,
+                     max_len: int) -> list[bytes] | None:
+    """All source→sink node paths as sequences; None if cyclic blowup."""
+    results: list[bytes] = []
+    # iterative DFS with explicit stack: (node, seq_so_far, visited_len)
+    stack = [(source, source)]
+    steps = 0
+    while stack:
+        steps += 1
+        if steps > 200000 or len(results) > MAX_PATHS:
+            return None
+        node, seq = stack.pop()
+        if len(seq) > max_len:
+            continue
+        if node == sink and len(seq) > len(source):
+            results.append(seq)
+            # sink may have outgoing edges (repeat) — do not extend further
+            continue
+        for nb, _cnt in sorted(graph.get(node, {}).items()):
+            nseq = seq + bytes([nb])
+            stack.append((nseq[-(k - 1):], nseq))
+    return results
+
+
+def assemble_region(ref: np.ndarray, reads: list[np.ndarray],
+                    params: AssemblyParams = AssemblyParams()
+                    ) -> AssemblyResult:
+    """Assemble candidate haplotypes for one active region.
+
+    The returned haplotype list always starts with the reference haplotype;
+    assembled haplotypes differing from it follow, deduplicated, capped at
+    ``params.max_haplotypes``.
+    """
+    ref = np.asarray(ref, dtype=np.uint8)
+    for k in params.kmer_sizes:
+        graph, _ref_edges = _build_graph(ref, reads, k, params.min_edge_mult)
+        if graph is None:
+            break
+        source = bytes(ref[:k - 1])
+        sink = bytes(ref[-(k - 1):])
+        if 4 in source or 4 in sink:
+            break
+        max_len = len(ref) + 64
+        paths = _enumerate_paths(graph, source, sink, k, max_len)
+        if paths is None:
+            continue  # cyclic / blowup → larger k
+        haps: list[np.ndarray] = [ref]
+        seen = {bytes(ref)}
+        scored = sorted(paths, key=lambda s: (len(s) != len(ref), s))
+        for pth in scored:
+            if pth in seen:
+                continue
+            seen.add(pth)
+            haps.append(np.frombuffer(pth, dtype=np.uint8))
+            if len(haps) >= params.max_haplotypes:
+                break
+        return AssemblyResult(haps, k, fallback=False)
+    return AssemblyResult([ref], params.kmer_sizes[-1], fallback=True)

@@ -34,7 +34,9 @@ from ..io.sam import CIGAR_D, CIGAR_I, CIGAR_M, CIGAR_S, Cigar
 from .sw_ref import NEG, SWParams, SWResult
 
 LANES = 128
-POS_STRIDE = 256  # bestpos = diag_program_id * POS_STRIDE + row
+POS_STRIDE = 4096  # bestpos = diag_program_id * POS_STRIDE + row;
+                   # supports read buckets to 4096 rows and ~500k diagonals
+                   # within int32
 
 
 @dataclasses.dataclass(frozen=True)
