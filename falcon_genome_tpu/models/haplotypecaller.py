@@ -26,6 +26,60 @@ from .genotyper import (
     events_from_alignment, genotype_sites, site_to_vcf_record)
 
 
+LIKELIHOOD_CAP = 6.0  # per-read dynamic-range cap in log10 (GATK's global
+                      # read-mismapping floor): L(r|h) is floored at
+                      # best_h L(r|h) - cap, which also absorbs f32
+                      # underflow (-inf) for hopeless read×hap pairs
+
+
+def clip_read_to_region(rec: SamRecord, rstart: int, rend: int
+                        ) -> tuple[str, str]:
+    """Trim a read's seq/qual to the part aligned inside [rstart, rend).
+
+    GATK hard-clips reads to the padded active region before PairHMM;
+    without this, the out-of-region tail mismatches every haplotype and
+    destroys the likelihood's dynamic range.
+    """
+    from ..io.sam import CIGAR_EQ, CIGAR_I as CI, CIGAR_S as CS, CIGAR_X
+    seq, qual = rec.seq, rec.qual
+    qlo, qhi = 0, len(seq)
+    i, rpos = 0, rec.pos
+    lo_q, hi_q = None, None
+    for op, n in rec.cigar:
+        consumes_q = op in (CIGAR_M, CI, CS, CIGAR_EQ, CIGAR_X)
+        consumes_r = op in (CIGAR_M, CIGAR_D, CIGAR_EQ, CIGAR_X)
+        if consumes_r:
+            seg_lo, seg_hi = rpos, rpos + n
+            ov_lo = max(seg_lo, rstart)
+            ov_hi = min(seg_hi, rend)
+            if ov_lo < ov_hi and consumes_q:
+                q_from = i + (ov_lo - seg_lo)
+                q_to = i + (ov_hi - seg_lo)
+                lo_q = q_from if lo_q is None else lo_q
+                hi_q = q_to
+            rpos += n
+        if consumes_q:
+            i += n
+    if lo_q is None:
+        return "", ""
+    qlo, qhi = lo_q, hi_q
+    return seq[qlo:qhi], (qual[qlo:qhi] if qual not in ("*", "") else qual)
+
+
+def normalize_read_likelihoods(logp: np.ndarray,
+                               cap: float = LIKELIHOOD_CAP) -> np.ndarray:
+    """Floor each read's likelihoods at (best over haps) - cap.
+
+    Reads with no finite likelihood at all become uniformly uninformative
+    (-300 across haplotypes).
+    """
+    best = np.max(np.where(np.isfinite(logp), logp, -np.inf), axis=1)
+    floor = np.where(np.isfinite(best), best - cap, -300.0)
+    out = np.maximum(np.where(np.isfinite(logp), logp, -np.inf),
+                     floor[:, None])
+    return out
+
+
 @dataclasses.dataclass
 class HTCParams:
     active: ActiveRegionParams = dataclasses.field(
@@ -73,6 +127,48 @@ def _hap_to_ref_events(haps: list[np.ndarray], ref: np.ndarray):
     return events
 
 
+def read_hap_likelihood_matrix(reads: list[SamRecord],
+                               haps: list[np.ndarray],
+                               rstart: int, rend: int, gcp: int = 10
+                               ) -> tuple[np.ndarray, list[np.ndarray]]:
+    """Clip reads to the region, batch PairHMM over read×hap pairs, floor.
+
+    Returns ((n_reads, n_haps) log10 matrix, clipped read code arrays).
+    """
+    clipped: list[tuple[np.ndarray, np.ndarray]] = []
+    for rec in reads:
+        seq, qual = clip_read_to_region(rec, rstart, rend)
+        codes = encode_seq(seq) if seq else np.zeros(0, np.uint8)
+        q = (np.frombuffer(qual.encode(), np.uint8) - 33
+             if qual not in ("*", "") and qual
+             else np.full(len(codes), 30, np.uint8))
+        clipped.append((codes, q))
+
+    n_r, n_h = len(reads), len(haps)
+    maxrl = max(8, max((len(c) for c, _ in clipped), default=8))
+    maxhl = max(8, max(len(h) for h in haps))
+    codes = np.full((n_r * n_h, maxrl), 4, np.uint8)
+    quals = np.zeros((n_r * n_h, maxrl), np.uint8)
+    rlens = np.zeros(n_r * n_h, np.int32)
+    hcodes = np.full((n_r * n_h, maxhl), 4, np.uint8)
+    hlens = np.zeros(n_r * n_h, np.int32)
+    for ri, (rc, q) in enumerate(clipped):
+        for hi, h in enumerate(haps):
+            b = ri * n_h + hi
+            codes[b, :len(rc)] = rc
+            quals[b, :len(q)] = q
+            rlens[b] = max(len(rc), 1)
+            hcodes[b, :len(h)] = h
+            hlens[b] = len(h)
+    gcps = np.full_like(quals, gcp)
+    indel_q = np.full_like(quals, 45)
+    logp = np.asarray(pairhmm_logp(
+        codes, quals, indel_q, indel_q, gcps, rlens, hcodes, hlens,
+        params=_default_pairhmm_params(maxrl, maxhl)))
+    mat = normalize_read_likelihoods(logp.reshape(n_r, n_h))
+    return mat, [c for c, _ in clipped]
+
+
 class HaplotypeCaller:
     def __init__(self, params: HTCParams = None):
         self.params = params or HTCParams()
@@ -93,40 +189,18 @@ class HaplotypeCaller:
         if not reads:
             return []
 
-        read_codes = [encode_seq(r.seq) for r in reads]
+        # assembly consumes region-clipped read sequences (GATK behavior)
+        read_codes = [
+            encode_seq(s) for s, _ in
+            (clip_read_to_region(r, rstart, rend) for r in reads) if s]
         asm = assemble_region(region_ref, read_codes, p.assembly)
         haps = asm.haplotypes
         if len(haps) == 1:
             return []
 
         hap_events = _hap_to_ref_events(haps, region_ref)
-
-        # PairHMM batch: all read×hap pairs
-        n_r, n_h = len(reads), len(haps)
-        maxrl = max(len(c) for c in read_codes)
-        maxhl = max(len(h) for h in haps)
-        codes = np.full((n_r * n_h, maxrl), 4, np.uint8)
-        quals = np.zeros((n_r * n_h, maxrl), np.uint8)
-        gcps = np.full((n_r * n_h, maxrl), p.gcp, np.uint8)
-        rlens = np.zeros(n_r * n_h, np.int32)
-        hcodes = np.full((n_r * n_h, maxhl), 4, np.uint8)
-        hlens = np.zeros(n_r * n_h, np.int32)
-        for ri, (rec, rc) in enumerate(zip(reads, read_codes)):
-            q = np.frombuffer(rec.qual.encode(), np.uint8) - 33 \
-                if rec.qual not in ("*", "") else np.full(len(rc), 30,
-                                                          np.uint8)
-            for hi, h in enumerate(haps):
-                b = ri * n_h + hi
-                codes[b, :len(rc)] = rc
-                quals[b, :len(q)] = q
-                rlens[b] = len(rc)
-                hcodes[b, :len(h)] = h
-                hlens[b] = len(h)
-        phmm = p.pairhmm or _default_pairhmm_params(maxrl, maxhl)
-        logp = np.asarray(pairhmm_logp(
-            codes, quals, np.full_like(quals, 45), np.full_like(quals, 45),
-            gcps, rlens, hcodes, hlens, params=phmm))
-        read_hap_logp = logp.reshape(n_r, n_h)
+        read_hap_logp, _ = read_hap_likelihood_matrix(
+            reads, haps, rstart, rend, p.gcp)
 
         calls = genotype_sites(hap_events, read_hap_logp)
         out = []

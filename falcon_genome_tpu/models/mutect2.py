@@ -1,0 +1,229 @@
+"""Mutect2-class somatic tumor/normal calling + FilterMutectCalls analog.
+
+Reference surface: Mutect2Worker (SURVEY.md §2 row 15,
+src/workers/Mutect2Worker.cpp — GATK4 path with ``-normal/-tumor``) and
+Mutect2FilterWorker (row 16).  The machinery is shared with the
+HaplotypeCaller (assembly + PairHMM TPU kernel); the genotyping model is
+the somatic likelihood-ratio test:
+
+* TLOD: log10 LR of "allele present in tumor at fraction f̂" vs "absent",
+  with f̂ the MLE allele fraction from read assignments;
+* NLOD: log10 LR of "normal is homozygous reference" vs "allele present
+  as a germline het" — high NLOD means the normal supports the site being
+  somatic rather than germline.
+
+Emission thresholds follow GATK4 defaults (TLOD ≥ 5.3 at emit,
+NLOD ≥ 2.2 for germline rejection when a normal is present).
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ..io.sam import SamRecord
+from ..io.vcf import VcfRecord
+from .activeregion import ActiveRegionParams, find_active_regions
+from .assembly import AssemblyParams, assemble_region
+from .haplotypecaller import (
+    _hap_to_ref_events, clip_read_to_region, read_hap_likelihood_matrix)
+
+TLOD_THRESHOLD = 5.3
+NLOD_THRESHOLD = 2.2
+
+
+@dataclasses.dataclass
+class Mutect2Params:
+    active: ActiveRegionParams = dataclasses.field(
+        default_factory=lambda: ActiveRegionParams(threshold=0.01))
+    assembly: AssemblyParams = dataclasses.field(
+        default_factory=lambda: AssemblyParams(min_edge_mult=1))
+    max_reads_per_region: int = 384
+    min_mapq: int = 10
+    tlod_threshold: float = TLOD_THRESHOLD
+    nlod_threshold: float = NLOD_THRESHOLD
+    tumor_sample: str = "TUMOR"
+    normal_sample: str = "NORMAL"
+    gcp: int = 10
+
+
+def _allele_likelihoods(hap_events, logp: np.ndarray, pos: int, ref: str,
+                        alt: str) -> tuple[np.ndarray, np.ndarray]:
+    """(L_ref, L_alt) per read for one site (log10)."""
+    ref_haps = [h for h, evs in enumerate(hap_events)
+                if evs is not None and not any(
+                    e.pos == pos and e.ref == ref for e in evs)]
+    alt_haps = [h for h, evs in enumerate(hap_events)
+                if evs is not None and any(
+                    e.pos == pos and e.ref == ref and e.alt == alt
+                    for e in evs)]
+    L_ref = (logp[:, ref_haps].max(axis=1) if ref_haps
+             else np.full(logp.shape[0], -300.0))
+    L_alt = (logp[:, alt_haps].max(axis=1) if alt_haps
+             else np.full(logp.shape[0], -300.0))
+    return L_ref, L_alt
+
+
+def _mixture_loglik(L_ref: np.ndarray, L_alt: np.ndarray, f: float
+                    ) -> float:
+    """Σ_r log10((1-f)·10^Lref + f·10^Lalt), stable."""
+    m = np.maximum(L_ref, L_alt)
+    val = (1 - f) * np.power(10.0, L_ref - m) + \
+        f * np.power(10.0, L_alt - m)
+    return float((m + np.log10(np.maximum(val, 1e-300))).sum())
+
+
+def _tlod(L_ref: np.ndarray, L_alt: np.ndarray) -> tuple[float, float]:
+    """(TLOD, f̂): LR of best-f mixture vs f≈0."""
+    if len(L_ref) == 0:
+        return 0.0, 0.0
+    support = (L_alt - L_ref) > 0.3
+    informative = np.abs(L_alt - L_ref) > 0.3
+    denom = max(1, int(informative.sum()))
+    f_hat = float(np.clip(support.sum() / denom, 1e-3, 1.0))
+    ll_alt = _mixture_loglik(L_ref, L_alt, f_hat)
+    ll_null = _mixture_loglik(L_ref, L_alt, 0.0)
+    return ll_alt - ll_null, f_hat
+
+
+def _nlod(L_ref: np.ndarray, L_alt: np.ndarray) -> float:
+    """LR of 'normal hom-ref' vs 'germline het in normal'."""
+    if len(L_ref) == 0:
+        return 0.0
+    ll_ref = _mixture_loglik(L_ref, L_alt, 0.0)
+    ll_het = _mixture_loglik(L_ref, L_alt, 0.5)
+    return ll_ref - ll_het
+
+
+class Mutect2:
+    def __init__(self, params: Mutect2Params = None):
+        self.params = params or Mutect2Params()
+
+    def call_region(self, tumor: list[SamRecord],
+                    normal: list[SamRecord] | None,
+                    ref: np.ndarray, contig: str, rstart: int, rend: int
+                    ) -> list[VcfRecord]:
+        from ..io.dna import encode_seq
+
+        p = self.params
+        region_ref = ref[rstart:rend]
+
+        def usable(recs):
+            out = [r for r in recs
+                   if not r.is_unmapped and not r.is_duplicate
+                   and not (r.flag & 0x900) and r.mapq >= p.min_mapq
+                   and r.pos < rend and r.end_pos > rstart
+                   and r.seq not in ("*", "")]
+            return out[:p.max_reads_per_region]
+
+        t_reads = usable(tumor)
+        n_reads = usable(normal) if normal else []
+        if not t_reads:
+            return []
+
+        # assembly over tumor+normal reads so germline haps are present
+        all_codes = [
+            encode_seq(s) for s, _ in
+            (clip_read_to_region(r, rstart, rend)
+             for r in t_reads + n_reads) if s]
+        asm = assemble_region(region_ref, all_codes, p.assembly)
+        haps = asm.haplotypes
+        if len(haps) == 1:
+            return []
+        hap_events = _hap_to_ref_events(haps, region_ref)
+
+        logp_t, _ = read_hap_likelihood_matrix(t_reads, haps, rstart, rend,
+                                               p.gcp)
+        logp_n = (read_hap_likelihood_matrix(n_reads, haps, rstart, rend,
+                                             p.gcp)[0]
+                  if n_reads else None)
+
+        # candidate somatic events = union of events on assembled haps
+        sites: dict[tuple[int, str], set[str]] = {}
+        for evs in hap_events:
+            if not evs:
+                continue
+            for e in evs:
+                sites.setdefault((e.pos, e.ref), set()).add(e.alt)
+
+        out: list[VcfRecord] = []
+        for (pos, refa), alts in sorted(sites.items()):
+            for alt in sorted(alts):
+                Lr_t, La_t = _allele_likelihoods(hap_events, logp_t, pos,
+                                                 refa, alt)
+                tlod, f_hat = _tlod(Lr_t, La_t)
+                if tlod < p.tlod_threshold:
+                    continue
+                nlod = None
+                if logp_n is not None:
+                    Lr_n, La_n = _allele_likelihoods(hap_events, logp_n,
+                                                     pos, refa, alt)
+                    nlod = _nlod(Lr_n, La_n)
+                    if nlod < p.nlod_threshold:
+                        continue  # likely germline
+                t_alt = int(((La_t - Lr_t) > 0.3).sum())
+                t_ref = int(((Lr_t - La_t) > 0.3).sum())
+                info = {"TLOD": round(tlod, 2), "DP": len(t_reads)}
+                samples = [{
+                    "GT": "0/1", "AD": [t_ref, t_alt],
+                    "AF": round(f_hat, 3), "DP": t_ref + t_alt}]
+                fmt = ["GT", "AD", "AF", "DP"]
+                if nlod is not None:
+                    info["NLOD"] = round(nlod, 2)
+                    n_alt = int(((La_n - Lr_n) > 0.3).sum())
+                    n_ref = int(((Lr_n - La_n) > 0.3).sum())
+                    samples.append({
+                        "GT": "0/0", "AD": [n_ref, n_alt],
+                        "AF": round(n_alt / max(1, n_ref + n_alt), 3),
+                        "DP": n_ref + n_alt})
+                out.append(VcfRecord(
+                    contig=contig, pos=rstart + pos + 1, ref=refa,
+                    alts=[alt], qual=None, filter=".",
+                    info=info, fmt=fmt, samples=samples))
+        return out
+
+    def call_interval(self, tumor: list[SamRecord],
+                      normal: list[SamRecord] | None,
+                      ref: np.ndarray, contig: str, start: int, end: int
+                      ) -> list[VcfRecord]:
+        regions = find_active_regions(tumor, ref, start, end,
+                                      self.params.active)
+        out: list[VcfRecord] = []
+        seen = set()
+        for rstart, rend in regions:
+            for rec in self.call_region(tumor, normal, ref, contig,
+                                        rstart, rend):
+                key = (rec.pos, rec.ref, tuple(rec.alts))
+                if key not in seen:
+                    seen.add(key)
+                    out.append(rec)
+        out.sort(key=lambda r: r.pos)
+        return out
+
+
+# ---------------------------------------------------------------------------
+# FilterMutectCalls analog (ref Mutect2FilterWorker, §2 row 16)
+# ---------------------------------------------------------------------------
+
+def filter_mutect_calls(records: list[VcfRecord],
+                        min_tlod: float = 6.3,
+                        min_alt_reads: int = 2,
+                        max_af_normal: float = 0.1) -> list[VcfRecord]:
+    """Annotate FILTER on Mutect2 emissions; returns the same records."""
+    for r in records:
+        filters = []
+        tlod = float(r.info.get("TLOD", 0.0))
+        if tlod < min_tlod:
+            filters.append("weak_evidence")
+        if r.samples:
+            ad = r.samples[0].get("AD", [0, 0])
+            ad = [int(x) for x in (ad if isinstance(ad, (list, tuple))
+                                   else str(ad).split(","))]
+            if len(ad) > 1 and ad[1] < min_alt_reads:
+                filters.append("strict_strand")
+        if len(r.samples) > 1:
+            af_n = float(r.samples[1].get("AF", 0.0))
+            if af_n > max_af_normal:
+                filters.append("germline")
+        r.filter = ";".join(filters) if filters else "PASS"
+    return records
