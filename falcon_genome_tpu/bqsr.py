@@ -204,9 +204,21 @@ def _phred(err_rate: np.ndarray) -> np.ndarray:
     return -10.0 * np.log10(np.clip(err_rate, 1e-10, 1.0))
 
 
-def _empirical(obs: np.ndarray, err: np.ndarray) -> np.ndarray:
-    """Bayesian-smoothed empirical quality (GATK's +1/+2 style prior)."""
-    return _phred((err + 1.0) / (obs + 2.0))
+PRIOR_WEIGHT = 2.0  # pseudo-observations anchoring each bin to its parent
+
+
+def _empirical(obs: np.ndarray, err: np.ndarray,
+               parent_q: np.ndarray | float) -> np.ndarray:
+    """Empirical quality shrunk toward the parent level's prediction.
+
+    Pseudo-counts are *parent-consistent* (PRIOR_WEIGHT observations at
+    the parent's error rate) rather than flat +1/+2 — a flat prior caps a
+    zero-error bin's quality at phred(1/obs) and drags clean small bins
+    below their parent (a delta that should be ~0 becomes negative).
+    """
+    p_parent = np.power(10.0, -np.asarray(parent_q, np.float64) / 10.0)
+    return _phred((err + PRIOR_WEIGHT * p_parent)
+                  / (obs + PRIOR_WEIGHT))
 
 
 @dataclasses.dataclass
@@ -220,7 +232,6 @@ class RecalModel:
 
     @classmethod
     def fit(cls, table: RecalTable) -> "RecalModel":
-        nrg = len(table.read_groups)
         reported = np.arange(MAX_QUAL, dtype=np.float64)
 
         # global: expected errors under reported quals vs observed
@@ -228,22 +239,23 @@ class RecalModel:
                    10.0 ** (-reported[None, :] / 10.0)).sum(axis=1)
         tot_obs = table.qual_obs.sum(axis=1)
         tot_err = table.qual_err.sum(axis=1)
-        emp_global = _empirical(tot_obs, tot_err)
         rep_global = _phred((exp_err + 1.0) / (tot_obs + 2.0))
+        emp_global = _empirical(tot_obs, tot_err, rep_global)
         global_delta = emp_global - rep_global
 
-        emp_qual = _empirical(table.qual_obs, table.qual_err)
-        qual_delta = np.where(
-            table.qual_obs > 0,
-            emp_qual - (reported[None, :] + global_delta[:, None]),
-            0.0)
+        parent_qual = reported[None, :] + global_delta[:, None]
+        emp_qual = _empirical(table.qual_obs, table.qual_err, parent_qual)
+        qual_delta = np.where(table.qual_obs > 0, emp_qual - parent_qual,
+                              0.0)
 
         # base prediction after the first two levels: (nrg, MAX_QUAL)
-        base_q = reported[None, :] + global_delta[:, None] + qual_delta
-        emp_cycle = _empirical(table.cycle_obs, table.cycle_err)
+        base_q = parent_qual + qual_delta
+        emp_cycle = _empirical(table.cycle_obs, table.cycle_err,
+                               base_q[:, :, None])
         cycle_delta = np.where(table.cycle_obs > 0,
                                emp_cycle - base_q[:, :, None], 0.0)
-        emp_ctx = _empirical(table.ctx_obs, table.ctx_err)
+        emp_ctx = _empirical(table.ctx_obs, table.ctx_err,
+                             base_q[:, :, None])
         ctx_delta = np.where(table.ctx_obs > 0,
                              emp_ctx - base_q[:, :, None], 0.0)
         return cls(table, global_delta, qual_delta, cycle_delta, ctx_delta)

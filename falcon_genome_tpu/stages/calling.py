@@ -1,0 +1,163 @@
+"""Caller stages: ``htc`` (HaplotypeCaller), ``mutect2``, ``ug``.
+
+Mirror the reference drivers: per-contig-shard caller scatter over the
+gatk.ncontigs interval plan, per-shard ``part-%06d.gvcf``/``.vcf`` outputs,
+then concat → bgzip (src/worker-htc.cpp:19-181, worker-mutect2.cpp:17-277,
+worker-ug.cpp:16-160).
+"""
+from __future__ import annotations
+
+import logging
+from pathlib import Path
+
+from ..config import Config
+from ..io.intervals import Interval, intersect_intervals, read_interval_list
+from ..io.vcf import STANDARD_META, VcfHeader, concat_vcfs, write_vcf
+from ..models.haplotypecaller import HaplotypeCaller, HTCParams
+from ..models.mutect2 import Mutect2, Mutect2Params, filter_mutect_calls
+from ..models.ug import UGParams, call_pileup
+from ..pipeline.runner import PipelineRunner, stage
+from ..utils.common import check_output, get_contig_fname
+from .bamstages import load_bam_input
+from .common import interval_shards, load_fasta, records_in_shard
+
+log = logging.getLogger("falcon_genome_tpu")
+
+
+def _vcf_header(fa, samples: list[str]) -> VcfHeader:
+    return VcfHeader(
+        contigs=[(c.name, c.length) for c in fa.dict],
+        samples=samples, meta=list(STANDARD_META))
+
+
+def _user_intervals(conf: Config, intervals: str | None, fa):
+    if not intervals:
+        return None
+    return read_interval_list(intervals, fa.dict)
+
+
+def _shard_plan(conf: Config, fa, intervals: str | None
+                ) -> list[list[Interval]]:
+    shards = interval_shards(conf, fa)
+    user = _user_intervals(conf, intervals, fa)
+    if user is None:
+        return shards
+    # -L <user> -L <shard> -isr INTERSECTION (HTCWorker.cpp:64-68)
+    return [intersect_intervals(s, user) for s in shards]
+
+
+def run_htc(conf: Config, ref: str, input_path: str, output: str,
+            produce_vcf: bool = False, intervals: str | None = None,
+            sample: str = "SAMPLE", force: bool = False) -> str:
+    """HaplotypeCaller scatter → per-shard gVCF parts → merged vcf.gz."""
+    emit_gvcf = not produce_vcf or str(output).endswith(
+        (".g.vcf", ".g.vcf.gz", ".gvcf", ".gvcf.gz"))
+    output = check_output(output, force)
+    fa = load_fasta(ref)
+    header, records = load_bam_input(input_path)
+    shards = _shard_plan(conf, fa, intervals)
+    params = HTCParams(emit_gvcf=emit_gvcf, sample=sample)
+    hc = HaplotypeCaller(params)
+    vcf_header = _vcf_header(fa, [sample])
+    part_dir = Path(output).parent / (Path(output).name + ".parts")
+    part_dir.mkdir(parents=True, exist_ok=True)
+    ext = "gvcf" if emit_gvcf else "vcf"
+
+    def one(shard, idx):
+        recs = []
+        for iv in shard:
+            contig_codes = fa.contig_codes(iv.contig)
+            sub = records_in_shard(records, [iv], header)
+            recs.extend(hc.call_interval(
+                sub, contig_codes, iv.contig, iv.start - 1, iv.end))
+        path = get_contig_fname(part_dir, idx, ext)
+        write_vcf(path, vcf_header, recs)
+        return path
+
+    runner = PipelineRunner("Haplotype Caller", force=True)
+    tasks = [(lambda s=s, i=i: one(s, i)) for i, s in enumerate(shards)]
+    (parts,) = runner.run([stage(
+        "HaplotypeCaller", tasks,
+        nprocs=conf.get("gatk.htc.nprocs"))]).values()
+    concat_vcfs(parts, output, sort=False)  # shards are in genome order
+    log.info("htc → %s", output)
+    return output
+
+
+def run_mutect2(conf: Config, ref: str, tumor_path: str, output: str,
+                normal_path: str | None = None,
+                intervals: str | None = None,
+                run_filter: bool = True, force: bool = False) -> str:
+    output = check_output(output, force)
+    fa = load_fasta(ref)
+    t_header, t_records = load_bam_input(tumor_path)
+    n_records = None
+    if normal_path:
+        _, n_records = load_bam_input(normal_path)
+    shards = _shard_plan(conf, fa, intervals)
+    m2 = Mutect2(Mutect2Params())
+    samples = ["TUMOR"] + (["NORMAL"] if normal_path else [])
+    vcf_header = _vcf_header(fa, samples)
+    vcf_header.meta.append(
+        '##INFO=<ID=TLOD,Number=A,Type=Float,Description='
+        '"Tumor log-odds of variant">')
+    vcf_header.meta.append(
+        '##INFO=<ID=NLOD,Number=A,Type=Float,Description='
+        '"Normal log-odds of being reference">')
+    part_dir = Path(output).parent / (Path(output).name + ".parts")
+    part_dir.mkdir(parents=True, exist_ok=True)
+
+    def one(shard, idx):
+        recs = []
+        for iv in shard:
+            codes = fa.contig_codes(iv.contig)
+            t_sub = records_in_shard(t_records, [iv], t_header)
+            n_sub = (records_in_shard(n_records, [iv], t_header)
+                     if n_records is not None else None)
+            recs.extend(m2.call_interval(
+                t_sub, n_sub, codes, iv.contig, iv.start - 1, iv.end))
+        if run_filter:
+            recs = filter_mutect_calls(recs)
+        path = get_contig_fname(part_dir, idx, "vcf")
+        write_vcf(path, vcf_header, recs)
+        return path
+
+    runner = PipelineRunner("Mutect2", force=True)
+    tasks = [(lambda s=s, i=i: one(s, i)) for i, s in enumerate(shards)]
+    (parts,) = runner.run([stage(
+        "Mutect2", tasks, nprocs=conf.get("gatk.mutect2.nprocs"))]).values()
+    concat_vcfs(parts, output, sort=False)
+    log.info("mutect2 → %s", output)
+    return output
+
+
+def run_ug(conf: Config, ref: str, input_path: str, output: str,
+           intervals: str | None = None, sample: str = "SAMPLE",
+           force: bool = False) -> str:
+    output = check_output(output, force)
+    fa = load_fasta(ref)
+    header, records = load_bam_input(input_path)
+    shards = _shard_plan(conf, fa, intervals)
+    vcf_header = _vcf_header(fa, [sample])
+    part_dir = Path(output).parent / (Path(output).name + ".parts")
+    part_dir.mkdir(parents=True, exist_ok=True)
+
+    def one(shard, idx):
+        recs = []
+        for iv in shard:
+            codes = fa.contig_codes(iv.contig)
+            sub = records_in_shard(records, [iv], header)
+            recs.extend(call_pileup(sub, codes, iv.contig,
+                                    iv.start - 1, iv.end, UGParams()))
+        path = get_contig_fname(part_dir, idx, "vcf")
+        write_vcf(path, vcf_header, recs)
+        return path
+
+    runner = PipelineRunner("Unified Genotyper", force=True)
+    tasks = [(lambda s=s, i=i: one(s, i)) for i, s in enumerate(shards)]
+    (parts,) = runner.run([stage(
+        "UnifiedGenotyper", tasks,
+        nprocs=conf.get("gatk.ug.nprocs"))]).values()
+    concat_vcfs(parts, output, sort=False)
+    log.info("ug → %s", output)
+    return output
