@@ -191,9 +191,18 @@ def _bucket_cost(p: PairHMMParams) -> pl.CostEstimate:
 
 
 @functools.partial(jax.jit, static_argnames=("params",))
-def _pairhmm_device(read_codes, p_err, p_ins, p_del, p_cont, read_lens,
+def _pairhmm_device(read_codes, base_q, ins_q, del_q, gcp, read_lens,
                     hap_codes, hap_lens, *, params: PairHMMParams):
-    """Device entry: time-major (R, B)/(H, B) inputs, B multiple of LANES."""
+    """Device entry: time-major (R, B)/(H, B) inputs, B multiple of LANES.
+
+    Quality inputs are integer phred arrays; the phred→probability
+    conversion happens inside this jit so a call is ONE dispatch (the
+    remote-tunnel dispatch latency of un-jitted ops dwarfs the kernel).
+    """
+    p_err = _phred_to_prob(base_q)
+    p_ins = _phred_to_prob(ins_q)
+    p_del = _phred_to_prob(del_q)
+    p_cont = _phred_to_prob(gcp)
     R, B = read_codes.shape
     H = hap_codes.shape[0]
     nblocks = B // LANES
@@ -237,10 +246,18 @@ def _pairhmm_device(read_codes, p_err, p_ins, p_del, p_cont, read_lens,
 
 
 @functools.partial(jax.jit, static_argnames=("R", "H"))
-def _pairhmm_jax(read_codes, p_err, p_ins, p_del, p_cont, rlen, hlen,
+def _pairhmm_jax(read_codes, base_q, ins_q, del_q, gcp, rlen, hlen,
                  hap_codes, *, R: int, H: int):
     """Portable wavefront (lax.scan over diagonals) — same math as the
-    Pallas kernel, used on CPU and as a cross-check."""
+    Pallas kernel, used on CPU and as a cross-check.
+
+    Quality inputs are phred int arrays OR pre-converted f32 probability
+    arrays (float inputs pass through unchanged).
+    """
+    p_err = _phred_to_prob(base_q)
+    p_ins = _phred_to_prob(ins_q)
+    p_del = _phred_to_prob(del_q)
+    p_cont = _phred_to_prob(gcp)
     f32 = jnp.float32
     B = read_codes.shape[1]
     a_mm = 1.0 - jnp.minimum(1.0, p_ins + p_del)
@@ -339,10 +356,10 @@ def pairhmm_logp(read_codes, base_q, ins_q, del_q, gcp, read_lens,
 
     read_t = pad2(read_codes.astype(np.int32), R, 4)
     hap_t = pad2(hap_codes.astype(np.int32), H, 4)
-    perr_t = _phred_to_prob(jnp.asarray(pad2(base_q, R)))
-    pins_t = _phred_to_prob(jnp.asarray(pad2(ins_q, R)))
-    pdel_t = _phred_to_prob(jnp.asarray(pad2(del_q, R)))
-    pcont_t = _phred_to_prob(jnp.asarray(pad2(gcp, R)))
+    baseq_t = jnp.asarray(pad2(np.asarray(base_q, np.int32), R))
+    insq_t = jnp.asarray(pad2(np.asarray(ins_q, np.int32), R))
+    delq_t = jnp.asarray(pad2(np.asarray(del_q, np.int32), R))
+    gcp_t = jnp.asarray(pad2(np.asarray(gcp, np.int32), R))
 
     def pad1(x, fill):
         out = np.full((Bp,), fill, dtype=np.int32)
@@ -354,12 +371,12 @@ def pairhmm_logp(read_codes, base_q, ins_q, del_q, gcp, read_lens,
 
     if params.backend == "jax":
         logp = _pairhmm_jax(
-            jnp.asarray(read_t), perr_t, pins_t, pdel_t, pcont_t,
+            jnp.asarray(read_t), baseq_t, insq_t, delq_t, gcp_t,
             jnp.asarray(rlen_t), jnp.asarray(hlen_t), jnp.asarray(hap_t),
             R=R, H=H)
     else:
         logp, _ = _pairhmm_device(
-            jnp.asarray(read_t), perr_t, pins_t, pdel_t, pcont_t,
+            jnp.asarray(read_t), baseq_t, insq_t, delq_t, gcp_t,
             jnp.asarray(rlen_t), jnp.asarray(hap_t), jnp.asarray(hlen_t),
             params=params)
     return logp[:B]

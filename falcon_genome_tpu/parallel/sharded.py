@@ -22,17 +22,14 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..bqsr import MAX_CYCLE, MAX_QUAL, N_CONTEXT
-from ..ops.pairhmm import _pairhmm_jax, _phred_to_prob
+from ..ops.pairhmm import _pairhmm_jax
 
 
 def _pairhmm_math(read_codes, base_q, ins_q, del_q, gcp, rlen, hlen,
                   hap_codes, R: int, H: int):
-    """Backend-portable pairhmm on time-major int arrays."""
-    return _pairhmm_jax(
-        read_codes,
-        _phred_to_prob(base_q), _phred_to_prob(ins_q),
-        _phred_to_prob(del_q), _phred_to_prob(gcp),
-        rlen, hlen, hap_codes, R=R, H=H)
+    """Backend-portable pairhmm on time-major int arrays (phred quals)."""
+    return _pairhmm_jax(read_codes, base_q, ins_q, del_q, gcp,
+                        rlen, hlen, hap_codes, R=R, H=H)
 
 
 def sharded_pairhmm_step(mesh: Mesh, R: int, H: int):
