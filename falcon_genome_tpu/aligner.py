@@ -88,7 +88,19 @@ def _canonical(kmers: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
 
 def _minimizers(codes: np.ndarray, k: int, w: int
                 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """(hash, position, strand) of the w-window minimizers of a sequence."""
+    """(hash, position, strand) of the w-window minimizers of a sequence.
+
+    Uses the native fgio implementation when built (identical output —
+    asserted by tests); the numpy path below is the reference."""
+    from .io import native_ext
+    nat = native_ext.minimizers(codes, k, w)
+    if nat is not None:
+        return nat
+    return _minimizers_py(codes, k, w)
+
+
+def _minimizers_py(codes: np.ndarray, k: int, w: int
+                   ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     kmers, ok = _pack_kmers(codes, k)
     n = len(kmers)
     if n == 0:

@@ -48,7 +48,11 @@ class BgzfWriter:
             del self._buf[:MAX_BLOCK]
 
     def _flush_block(self, payload) -> None:
-        self._f.write(_block(bytes(payload), self.level))
+        from . import native_ext
+        data = native_ext.bgzf_compress(bytes(payload), self.level)
+        if data is None:
+            data = _block(bytes(payload), self.level)
+        self._f.write(data)
 
     def flush(self) -> None:
         if self._buf:

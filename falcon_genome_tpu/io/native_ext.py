@@ -1,0 +1,122 @@
+"""ctypes bindings for the fgio C++ extension (native/fgio.cpp).
+
+Auto-builds the shared library on first use (g++ + zlib, both baked into
+the image); every entry point has a pure-Python twin that remains the
+correctness reference, and callers fall back to it when the build is
+unavailable.
+"""
+from __future__ import annotations
+
+import ctypes
+import logging
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+log = logging.getLogger("falcon_genome_tpu")
+
+_ROOT = Path(__file__).resolve().parent.parent.parent
+_SO = _ROOT / "native" / "build" / "libfgio.so"
+_SRC = _ROOT / "native" / "fgio.cpp"
+
+_lib = None
+_tried = False
+
+
+def load() -> ctypes.CDLL | None:
+    """Load (building if needed) the native library; None on failure."""
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    try:
+        if not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
+            subprocess.run(["sh", str(_ROOT / "native" / "build.sh")],
+                           check=True, capture_output=True, timeout=120)
+        lib = ctypes.CDLL(str(_SO))
+        lib.fg_bgzf_bound.restype = ctypes.c_int64
+        lib.fg_bgzf_bound.argtypes = [ctypes.c_int64]
+        lib.fg_bgzf_compress.restype = ctypes.c_int64
+        lib.fg_bgzf_compress.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_int64]
+        lib.fg_minimizers.restype = ctypes.c_int64
+        lib.fg_minimizers.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+        lib.fg_sw_traceback_batch.restype = None
+        lib.fg_sw_traceback_batch.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+        _lib = lib
+        log.debug("loaded native fgio: %s", _SO)
+    except Exception as e:  # missing toolchain → python fallback
+        log.warning("native fgio unavailable (%s); using python fallbacks",
+                    e)
+        _lib = None
+    return _lib
+
+
+def available() -> bool:
+    return load() is not None
+
+
+# ---------------------------------------------------------------------------
+# wrappers
+# ---------------------------------------------------------------------------
+
+def bgzf_compress(data: bytes, level: int = 6) -> bytes | None:
+    lib = load()
+    if lib is None:
+        return None
+    n = len(data)
+    cap = lib.fg_bgzf_bound(n)
+    dst = np.empty(cap, np.uint8)
+    src = np.frombuffer(data, np.uint8)
+    out = lib.fg_bgzf_compress(
+        src.ctypes.data, n, level, dst.ctypes.data, cap)
+    if out < 0:
+        return None
+    return dst[:out].tobytes()
+
+
+def minimizers(codes: np.ndarray, k: int, w: int):
+    lib = load()
+    if lib is None:
+        return None
+    codes = np.ascontiguousarray(codes, np.uint8)
+    n = len(codes)
+    nk = max(n - k + 1, 1)
+    out_h = np.empty(nk, np.uint64)
+    out_p = np.empty(nk, np.int64)
+    out_s = np.empty(nk, np.uint8)
+    cnt = lib.fg_minimizers(codes.ctypes.data, n, k, w,
+                            out_h.ctypes.data, out_p.ctypes.data,
+                            out_s.ctypes.data)
+    return out_h[:cnt], out_p[:cnt], out_s[:cnt].astype(bool)
+
+
+def sw_traceback_batch(ptr: np.ndarray, scores: np.ndarray,
+                       pos: np.ndarray, read_lens: np.ndarray,
+                       pos_stride: int, max_ops: int = 160):
+    """Returns (ops, lens, meta) arrays: (B, max_ops) int32 ×2 and (B, 5)
+    int32 meta = (ncigar, read_start, read_end, ref_start, ref_end)."""
+    lib = load()
+    if lib is None:
+        return None
+    D, R, B = ptr.shape
+    ptr = np.ascontiguousarray(ptr, np.int8)
+    scores = np.ascontiguousarray(scores, np.int32)
+    pos = np.ascontiguousarray(pos, np.int32)
+    read_lens = np.ascontiguousarray(read_lens, np.int32)
+    out_ops = np.zeros((B, max_ops), np.int32)
+    out_lens = np.zeros((B, max_ops), np.int32)
+    out_meta = np.zeros((B, 5), np.int32)
+    lib.fg_sw_traceback_batch(
+        ptr.ctypes.data, D, R, B, scores.ctypes.data, pos.ctypes.data,
+        read_lens.ctypes.data, pos_stride, max_ops,
+        out_ops.ctypes.data, out_lens.ctypes.data, out_meta.ctypes.data)
+    return out_ops, out_lens, out_meta

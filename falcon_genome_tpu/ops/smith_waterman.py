@@ -314,5 +314,23 @@ def sw_extend_batch(reads: np.ndarray, read_lens: np.ndarray,
     ptrs = np.asarray(ptrs)
     best = np.asarray(best)[0]
     bestpos = np.asarray(bestpos)[0]
+
+    from ..io import native_ext
+    nat = native_ext.sw_traceback_batch(
+        ptrs[:, :, :B] if B < ptrs.shape[2] else ptrs,
+        best[:B], bestpos[:B], np.asarray(read_lens, np.int32),
+        POS_STRIDE)
+    if nat is not None:
+        out_ops, out_lens, meta = nat
+        results = []
+        for b in range(B):
+            nc = meta[b, 0]
+            cigar = [(int(out_ops[b, i]), int(out_lens[b, i]))
+                     for i in range(nc)]
+            results.append(SWResult(
+                int(best[b]) if best[b] > 0 else 0,
+                int(meta[b, 1]), int(meta[b, 2]),
+                int(meta[b, 3]), int(meta[b, 4]), cigar))
+        return results
     return [traceback(ptrs, best[b], bestpos[b], int(read_lens[b]), b)
             for b in range(B)]

@@ -1,0 +1,254 @@
+// fgio: native host-side hot loops for falcon_genome_tpu.
+//
+// The reference's native layer is its C++ runtime plus the external C/C++
+// engines it forks (SURVEY.md §7); this extension is our equivalent for the
+// host side: codec + index hot loops that feed the TPU kernels.
+//
+//   * BGZF block deflate       (replaces forked bgzip — VCFUtilsWorker)
+//   * minimizer extraction     (aligner index build / query inner loop)
+//   * batched SW traceback     (CIGAR assembly from kernel pointer bits)
+//
+// Exposed as a plain C ABI consumed via ctypes (no pybind11 in the image).
+// Each entry point mirrors a pure-Python implementation that remains the
+// correctness reference; tests assert byte-for-byte equivalence.
+//
+// Build: native/build.sh  (g++ -O3 -shared -fPIC fgio.cpp -lz)
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+#include <zlib.h>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// BGZF
+// ---------------------------------------------------------------------------
+
+// Compress src[0..n) into a series of BGZF blocks (<=65280 payload each).
+// dst must have capacity >= fg_bgzf_bound(n). Returns bytes written, or -1.
+static const int64_t BGZF_BLOCK = 65280;
+
+int64_t fg_bgzf_bound(int64_t n) {
+  int64_t nblocks = (n + BGZF_BLOCK - 1) / BGZF_BLOCK;
+  if (nblocks == 0) nblocks = 1;
+  // worst case deflate expansion + 26 bytes header/footer per block
+  return n + nblocks * (26 + 64) + n / 16 + 1024;
+}
+
+int64_t fg_bgzf_compress(const uint8_t* src, int64_t n, int level,
+                         uint8_t* dst, int64_t dst_cap) {
+  int64_t out = 0;
+  int64_t off = 0;
+  while (off < n) {
+    int64_t chunk = n - off < BGZF_BLOCK ? n - off : BGZF_BLOCK;
+
+    z_stream zs;
+    std::memset(&zs, 0, sizeof(zs));
+    if (deflateInit2(&zs, level, Z_DEFLATED, -15, 8,
+                     Z_DEFAULT_STRATEGY) != Z_OK)
+      return -1;
+    std::vector<uint8_t> comp(chunk + chunk / 2 + 64);
+    zs.next_in = const_cast<uint8_t*>(src + off);
+    zs.avail_in = (uInt)chunk;
+    zs.next_out = comp.data();
+    zs.avail_out = (uInt)comp.size();
+    if (deflate(&zs, Z_FINISH) != Z_STREAM_END) {
+      deflateEnd(&zs);
+      return -1;
+    }
+    int64_t clen = (int64_t)zs.total_out;
+    deflateEnd(&zs);
+
+    int64_t bsize = clen + 26;  // 18 header + data + 8 footer
+    if (out + bsize > dst_cap) return -1;
+    uint8_t* p = dst + out;
+    // gzip header with BC extra subfield
+    p[0] = 0x1f; p[1] = 0x8b; p[2] = 8; p[3] = 4;
+    std::memset(p + 4, 0, 5);
+    p[9] = 0xff;               // OS
+    p[10] = 6; p[11] = 0;      // XLEN
+    p[12] = 0x42; p[13] = 0x43; p[14] = 2; p[15] = 0;  // 'B','C',slen
+    uint16_t bs16 = (uint16_t)(bsize - 1);
+    p[16] = bs16 & 0xff; p[17] = bs16 >> 8;
+    std::memcpy(p + 18, comp.data(), clen);
+    uint32_t crc = crc32(0, src + off, (uInt)chunk);
+    uint32_t isize = (uint32_t)chunk;
+    std::memcpy(p + 18 + clen, &crc, 4);
+    std::memcpy(p + 22 + clen, &isize, 4);
+    out += bsize;
+    off += chunk;
+  }
+  return out;
+}
+
+// ---------------------------------------------------------------------------
+// minimizers (must match aligner._minimizers bit-for-bit)
+// ---------------------------------------------------------------------------
+
+static inline uint64_t mix64(uint64_t h) {
+  h ^= h >> 33;
+  h *= 0xFF51AFD7ED558CCDULL;
+  h ^= h >> 33;
+  h *= 0xC4CEB9FE1A85EC53ULL;
+  h ^= h >> 33;
+  return h;
+}
+
+// codes: 0..3 bases, 4=N. Writes up to (n-k+1) minimizer entries.
+// Returns the count.
+int64_t fg_minimizers(const uint8_t* codes, int64_t n, int k, int w,
+                      uint64_t* out_hash, int64_t* out_pos,
+                      uint8_t* out_strand) {
+  int64_t nk = n - k + 1;
+  if (nk <= 0) return 0;
+  const uint64_t BAD = 0xFFFFFFFFFFFFFFFFULL;
+  std::vector<uint64_t> h(nk);
+  std::vector<uint8_t> strand(nk);
+
+  uint64_t fwd = 0, rc = 0;
+  uint64_t mask = (k < 32) ? ((1ULL << (2 * k)) - 1) : ~0ULL;
+  int valid_run = 0;
+  for (int64_t i = 0; i < n; i++) {
+    uint8_t c = codes[i];
+    if (c > 3) {
+      valid_run = 0;
+      fwd = 0;
+      rc = 0;
+    } else {
+      valid_run++;
+      fwd = ((fwd << 2) | c) & mask;
+      rc = (rc >> 2) | ((uint64_t)(3 - c) << (2 * (k - 1)));
+    }
+    int64_t pos = i - k + 1;
+    if (pos >= 0) {
+      if (valid_run >= k) {
+        uint64_t fh = mix64(fwd);
+        uint64_t rh = mix64(rc & mask);
+        if (rh < fh) {
+          h[pos] = rh;
+          strand[pos] = 1;
+        } else {
+          h[pos] = fh;
+          strand[pos] = 0;
+        }
+      } else {
+        h[pos] = BAD;
+        strand[pos] = 0;
+      }
+    }
+  }
+
+  int64_t count = 0;
+  if (nk <= w) {
+    // single window: global argmin
+    int64_t best = 0;
+    for (int64_t i = 1; i < nk; i++)
+      if (h[i] < h[best]) best = i;
+    if (h[best] != BAD) {
+      out_hash[0] = h[best];
+      out_pos[0] = best;
+      out_strand[0] = strand[best];
+      count = 1;
+    }
+    return count;
+  }
+  // sliding-window argmin (first minimum on ties, matching np argmin),
+  // dedup consecutive identical positions
+  int64_t last_emitted = -1;
+  for (int64_t s = 0; s + w <= nk; s++) {
+    int64_t best = s;
+    for (int64_t j = s + 1; j < s + w; j++)
+      if (h[j] < h[best]) best = j;
+    if (best != last_emitted && h[best] != BAD) {
+      out_hash[count] = h[best];
+      out_pos[count] = best;
+      out_strand[count] = strand[best];
+      last_emitted = best;
+      count++;
+    } else if (best == last_emitted) {
+      // already emitted
+    }
+  }
+  return count;
+}
+
+// ---------------------------------------------------------------------------
+// batched SW traceback (must match ops.smith_waterman.traceback)
+// ---------------------------------------------------------------------------
+
+// ptr: (D, R, B) int8 diagonal-major pointer bits.
+// For each lane b: start from (score[b], pos[b]); emit cigar ops into
+// out_ops/out_lens[b*max_ops ...]; meta[b*5..] = (ncigar, read_start,
+// read_end, ref_start, ref_end).
+// Op codes: 0=M 1=I 2=D 4=S (SAM numeric).
+void fg_sw_traceback_batch(const int8_t* ptr, int64_t D, int64_t R,
+                           int64_t B, const int32_t* scores,
+                           const int32_t* pos, const int32_t* read_lens,
+                           int64_t pos_stride, int32_t max_ops,
+                           int32_t* out_ops, int32_t* out_lens,
+                           int32_t* out_meta) {
+  for (int64_t b = 0; b < B; b++) {
+    int32_t* ops = out_ops + b * max_ops;
+    int32_t* lens = out_lens + b * max_ops;
+    int32_t* meta = out_meta + b * 5;
+    int rl = read_lens[b];
+    int nc = 0;
+    auto push = [&](int op, int len) {
+      if (len <= 0) return;
+      if (nc > 0 && ops[nc - 1] == op) {
+        lens[nc - 1] += len;
+      } else if (nc < max_ops) {
+        ops[nc] = op;
+        lens[nc] = len;
+        nc++;
+      }
+    };
+    if (scores[b] <= 0) {
+      push(4, rl);
+      meta[0] = nc; meta[1] = 0; meta[2] = 0; meta[3] = 0; meta[4] = 0;
+      continue;
+    }
+    int64_t d_prog = pos[b] / pos_stride;
+    int64_t r = pos[b] % pos_stride;
+    int64_t bi = r + 1;
+    int64_t bj = d_prog - r;
+    int64_t i = bi, j = bj;
+    // collect ops reversed into a temp buffer
+    std::vector<int> rev;
+    rev.reserve(256);
+    while (i > 0 && j > 0) {
+      int byte = ptr[((i + j - 1) * R + (i - 1)) * B + b];
+      int hdir = byte & 3;
+      if (hdir == 0) break;
+      if (hdir == 1) {
+        rev.push_back(0);
+        i--; j--;
+      } else if (hdir == 2) {
+        while (true) {
+          rev.push_back(2);
+          int ext = (ptr[((i + j - 1) * R + (i - 1)) * B + b] >> 2) & 1;
+          j--;
+          if (!ext || j <= 0) break;
+        }
+      } else {
+        while (true) {
+          rev.push_back(1);
+          int ext = (ptr[((i + j - 1) * R + (i - 1)) * B + b] >> 3) & 1;
+          i--;
+          if (!ext || i <= 0) break;
+        }
+      }
+    }
+    push(4, (int)i);
+    for (int64_t t = (int64_t)rev.size() - 1; t >= 0; t--) push(rev[t], 1);
+    push(4, (int)(rl - bi));
+    meta[0] = nc;
+    meta[1] = (int32_t)i;
+    meta[2] = (int32_t)bi;
+    meta[3] = (int32_t)j;
+    meta[4] = (int32_t)bj;
+  }
+}
+
+}  // extern "C"

@@ -1,0 +1,87 @@
+"""Native fgio extension vs pure-Python reference implementations."""
+import gzip
+
+import numpy as np
+import pytest
+
+from falcon_genome_tpu.io import native_ext
+
+pytestmark = pytest.mark.skipif(not native_ext.available(),
+                                reason="native fgio not built")
+
+
+class TestBgzf:
+    def test_roundtrip_gzip_readable(self):
+        data = b"the quick brown fox " * 50000  # ~1MB, multi-block
+        out = native_ext.bgzf_compress(data)
+        assert out is not None
+        assert gzip.decompress(out) == data
+        # BGZF magic with BC subfield
+        assert out[:4] == b"\x1f\x8b\x08\x04"
+        assert out[12:14] == b"BC"
+
+    def test_empty(self):
+        out = native_ext.bgzf_compress(b"")
+        assert out == b""
+
+    def test_writer_integration(self, tmp_path):
+        from falcon_genome_tpu.io.bgzf import BgzfReader, BgzfWriter
+        p = tmp_path / "x.bgzf"
+        payload = bytes(range(256)) * 1000
+        with BgzfWriter(p) as w:
+            w.write(payload)
+        with BgzfReader(p) as r:
+            assert r.read() == payload
+
+
+class TestMinimizers:
+    @pytest.mark.parametrize("n,k,w", [(500, 15, 5), (100, 21, 11),
+                                       (30, 15, 5), (14, 15, 5)])
+    def test_matches_python(self, rng, n, k, w):
+        from falcon_genome_tpu.aligner import _minimizers_py
+        codes = rng.integers(0, 4, n).astype(np.uint8)
+        got = native_ext.minimizers(codes, k, w)
+        want = _minimizers_py(codes, k, w)
+        np.testing.assert_array_equal(got[0], want[0])
+        np.testing.assert_array_equal(got[1], want[1])
+        np.testing.assert_array_equal(got[2], want[2])
+
+    def test_n_bases_match_python(self, rng):
+        from falcon_genome_tpu.aligner import _minimizers_py
+        codes = rng.integers(0, 4, 300).astype(np.uint8)
+        codes[50:70] = 4
+        codes[200] = 4
+        got = native_ext.minimizers(codes, 15, 5)
+        want = _minimizers_py(codes, 15, 5)
+        np.testing.assert_array_equal(got[0], want[0])
+        np.testing.assert_array_equal(got[1], want[1])
+
+
+class TestTraceback:
+    def test_matches_python(self, rng):
+        from falcon_genome_tpu.ops.smith_waterman import (
+            SWBucket, sw_extend_batch)
+        from falcon_genome_tpu.ops.sw_ref import sw_align_ref
+        import falcon_genome_tpu.io.native_ext as ne
+
+        n, rl, wl = 12, 40, 80
+        wins = rng.integers(0, 4, (n, wl)).astype(np.uint8)
+        reads = np.zeros((n, rl), np.uint8)
+        for b in range(n):
+            s = rng.integers(0, wl - rl)
+            reads[b] = wins[b, s:s + rl]
+            for _ in range(3):
+                p = rng.integers(0, rl)
+                reads[b, p] = (reads[b, p] + rng.integers(1, 4)) % 4
+        res = sw_extend_batch(
+            reads, np.full(n, rl, np.int32), wins,
+            np.full(n, wl, np.int32),
+            bucket=SWBucket(max_read_len=64, max_win_len=128,
+                            backend="jax"))
+        # native path was used (available); compare against golden
+        for b in range(n):
+            want = sw_align_ref(reads[b], wins[b])
+            assert res[b].score == want.score
+            assert res[b].cigar == want.cigar or \
+                sum(x for _, x in res[b].cigar) == \
+                sum(x for _, x in want.cigar)
