@@ -259,9 +259,26 @@ class BamReader:
         self.close()
 
 
-def write_bam(path: str | Path, header: SamHeader, records) -> str:
+def write_bam(path: str | Path, header: SamHeader, records,
+              index: bool = True) -> str:
+    """Write a BAM; coordinate-sorted inputs also get a ``.bai`` index
+    (replacing the reference's sambamba INDEX action)."""
+    from .tabix import IndexBuilder
+    builder = IndexBuilder(max(len(header.contigs), 1)) if index else None
+    sorted_so_far = True
+    last = (-1, -1)
     with BamWriter(path, header) as w:
-        w.write_all(records)
+        for rec in records:
+            v0 = w._w.virtual_offset
+            w.write(rec)
+            if builder is not None and not rec.is_unmapped:
+                if (rec.tid, rec.pos) < last:
+                    sorted_so_far = False
+                last = (rec.tid, rec.pos)
+                builder.add(rec.tid, rec.pos, max(rec.end_pos, rec.pos + 1),
+                            v0, w._w.virtual_offset)
+    if builder is not None and sorted_so_far:
+        builder.write_bai(str(path) + ".bai")
     return str(path)
 
 

@@ -40,6 +40,13 @@ class BgzfWriter:
         self._f = open(path, "wb")
         self._buf = bytearray()
         self.level = level
+        self._coffset = 0  # compressed bytes written so far
+
+    @property
+    def virtual_offset(self) -> int:
+        """BGZF virtual offset (coffset << 16 | within-block offset) of the
+        next byte to be written — the coordinate space of .tbi/.bai."""
+        return (self._coffset << 16) | len(self._buf)
 
     def write(self, data: bytes) -> None:
         self._buf += data
@@ -53,6 +60,7 @@ class BgzfWriter:
         if data is None:
             data = _block(bytes(payload), self.level)
         self._f.write(data)
+        self._coffset += len(data)
 
     def flush(self) -> None:
         if self._buf:

@@ -183,11 +183,35 @@ class _BgzfTextWriter:
 
 
 def write_vcf(path: str | Path, header: VcfHeader,
-              records: list[VcfRecord]) -> str:
-    with _open_out(path) as f:
-        f.write(header.to_text())
-        for r in records:
-            f.write(record_to_line(r) + "\n")
+              records: list[VcfRecord], index: bool | None = None) -> str:
+    """Write a VCF; ``.gz`` outputs are BGZF and get a ``.tbi`` tabix
+    index (replacing the reference's bgzip+tabix chain) unless
+    ``index=False``."""
+    gz = str(path).endswith(".gz")
+    if index is None:
+        index = gz
+    if not gz or not index:
+        with _open_out(path) as f:
+            f.write(header.to_text())
+            for r in records:
+                f.write(record_to_line(r) + "\n")
+        return str(path)
+
+    from .tabix import IndexBuilder
+    contig_id = {name: i for i, (name, _) in enumerate(header.contigs)}
+    builder = IndexBuilder(max(len(contig_id), 1))
+    w = BgzfWriter(path)
+    w.write(header.to_text().encode())
+    for r in records:
+        v0 = w.virtual_offset
+        w.write((record_to_line(r) + "\n").encode())
+        v1 = w.virtual_offset
+        rid = contig_id.get(r.contig, -1)
+        end = int(r.info.get("END", r.pos + len(r.ref) - 1))
+        builder.add(rid, r.pos - 1, end, v0, v1)
+    w.close()
+    builder.write_tbi(str(path) + ".tbi",
+                      [name for name, _ in header.contigs])
     return str(path)
 
 
