@@ -75,7 +75,7 @@ def _pairhmm_kernel(read_ref, perr_ref, pins_ref, pdel_ref, pcont_ref,
                     rlen_ref, hap_ref, hlen_ref,
                     acc_ref, shift_ref,
                     m1_ref, i1_ref, d1_ref, m2_ref, i2_ref, d2_ref,
-                    hapd_ref, bound_ref):
+                    hapd_ref, bound_ref, acc2d_ref):
     R = read_ref.shape[0]
     H = hap_ref.shape[0]
     B = read_ref.shape[1]
@@ -105,8 +105,10 @@ def _pairhmm_kernel(read_ref, perr_ref, pins_ref, pdel_ref, pcont_ref,
     i2_ref[:] = zero
     d2_ref[:] = zero
     hapd_ref[:] = jnp.zeros((R, B), jnp.int32)
-    acc_ref[:] = jnp.zeros((1, B), f32)
+    acc2d_ref[:] = zero
     shift_ref[:] = jnp.zeros((1, B), f32)
+    # final-row mask is static per pair: row r contributes iff r+1 == rlen
+    rowmask = (rvec + 1 == rlen).astype(f32)
 
     ic = f32(2.0) ** 120
     bound_ref[:] = ic / jnp.maximum(hlen_f, 1.0)   # D[0][j] = IC / hap_len
@@ -145,12 +147,11 @@ def _pairhmm_kernel(read_ref, perr_ref, pins_ref, pdel_ref, pcont_ref,
         i1_ref[:] = i_new
         d1_ref[:] = d_new
 
-        # accumulate final-row mass: row r with r+1 == read_len, j in [1, hap_len]
-        amask = jnp.logical_and(
-            rvec + 1 == rlen,
-            jnp.logical_and(jvec >= 1, jvec <= hlen)).astype(f32)
-        acc_ref[:] = acc_ref[:] + jnp.sum(
-            (m_new + i_new) * amask, axis=0, keepdims=True)
+        # accumulate final-row mass into a 2D accumulator (single
+        # cross-sublane reduction at the end, not one per step); j >= 1 is
+        # already enforced by `live` inside m_new/i_new
+        amask = rowmask * (jvec <= hlen).astype(f32)
+        acc2d_ref[:] = acc2d_ref[:] + (m_new + i_new) * amask
 
         # periodic exact rescale of pairs whose state is vanishing
         @pl.when(d % RESCALE_EVERY == 0)
@@ -168,7 +169,7 @@ def _pairhmm_kernel(read_ref, perr_ref, pins_ref, pdel_ref, pcont_ref,
             m2_ref[:] = m2_ref[:] * scale
             i2_ref[:] = i2_ref[:] * scale
             d2_ref[:] = d2_ref[:] * scale
-            acc_ref[:] = acc_ref[:] * scale
+            acc2d_ref[:] = acc2d_ref[:] * scale
             shift_ref[:] = shift_ref[:] + jnp.where(
                 need, f32(RESCALE_SHIFT_LOG10), f32(0.0))
             # the boundary row feeds cells until the last diagonal touches
@@ -178,6 +179,7 @@ def _pairhmm_kernel(read_ref, perr_ref, pins_ref, pdel_ref, pcont_ref,
         return carry
 
     jax.lax.fori_loop(1, R + H + 1, step, 0)
+    acc_ref[:] = jnp.sum(acc2d_ref[:], axis=0, keepdims=True)
 
 
 def _bucket_cost(p: PairHMMParams) -> pl.CostEstimate:
@@ -231,6 +233,7 @@ def _pairhmm_device(read_codes, base_q, ins_q, del_q, gcp, read_lens,
             pltpu.VMEM((R, LANES), jnp.float32),  # d2
             pltpu.VMEM((R, LANES), jnp.int32),    # hap diagonal
             pltpu.VMEM((1, LANES), jnp.float32),  # D row-0 boundary
+            pltpu.VMEM((R, LANES), jnp.float32),  # 2D final-row accumulator
         ],
         cost_estimate=_bucket_cost(params),
         interpret=params.interpret,
