@@ -9,6 +9,7 @@ from .bamstages import run_markdup
 from .bqsr import run_baserecal, run_bqsr, run_printreads
 from .calling import run_htc, run_mutect2, run_ug
 from .depth import run_depth
+from .indel import run_indel
 from .vcfstages import run_concat, run_joint, run_vcf_filter
 from .germline import run_germline
 
@@ -16,6 +17,6 @@ __all__ = [
     "run_align", "run_markdup",
     "run_baserecal", "run_printreads", "run_bqsr",
     "run_htc", "run_mutect2", "run_ug",
-    "run_depth", "run_concat", "run_joint", "run_vcf_filter",
+    "run_depth", "run_indel", "run_concat", "run_joint", "run_vcf_filter",
     "run_germline",
 ]

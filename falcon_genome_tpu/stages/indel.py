@@ -51,10 +51,12 @@ def run_indel(conf: Config, ref: str, input_path: str, output: str,
             contig_reads, codes, 0, clen,
             ActiveRegionParams(threshold=0.05, pad=40))
         for lo, hi in targets:
+            # every read overlapping the target is a candidate: misaligned
+            # reads typically carry plain mismatch-dense M CIGARs — the
+            # strict score comparison below keeps only true improvements
             cand = [r for r in contig_reads
                     if r.pos < hi and r.end_pos > lo
-                    and r.seq not in ("*", "")
-                    and any(op in (1, 2, CIGAR_S) for op, _ in r.cigar)]
+                    and r.seq not in ("*", "")]
             if not cand:
                 continue
             win = codes[lo:hi]
