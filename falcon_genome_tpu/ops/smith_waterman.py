@@ -271,8 +271,88 @@ def traceback(ptr: np.ndarray, score: int, pos: int, read_len: int,
     return SWResult(int(score), i, bi, j, bj, cigar)
 
 
+@functools.partial(jax.jit, static_argnames=("max_steps",))
+def _traceback_device(ptrs, best, bestpos, *, max_steps: int):
+    """Vectorized traceback on device — the pointer array never leaves HBM.
+
+    Walks all lanes in lockstep (one cell per step, ≤ R+W steps), emitting
+    per-step op codes (-1 = none, else SAM op M/I/D).  The host only
+    receives the (max_steps, B) op stream + final coordinates — a few
+    hundred KB instead of the multi-GB pointer array.
+    """
+    D, R, B = ptrs.shape
+    flat = ptrs.reshape(D * R, B)
+    d_prog = bestpos // POS_STRIDE
+    r = bestpos % POS_STRIDE
+    bi = r + 1
+    bj = d_prog - r
+    phase0 = jnp.zeros(B, jnp.int32)           # 0=H, 1=E(D-run), 2=F(I-run)
+    active0 = best > 0
+
+    def step(carry, _):
+        i, j, phase, active = carry
+        idx = jnp.clip((i + j - 1) * R + (i - 1), 0, D * R - 1)
+        byte = jnp.take_along_axis(
+            flat, idx[None, :].astype(jnp.int32), axis=0)[0].astype(
+            jnp.int32)
+        hdir = byte & 3
+        eext = (byte >> 2) & 1
+        fext = (byte >> 3) & 1
+        act = active & (i > 0) & (j > 0)
+        is_h = phase == 0
+        stop = act & is_h & (hdir == 0)
+        do_m = act & is_h & (hdir == 1)
+        in_e = act & ((phase == 1) | (is_h & (hdir == 2)))
+        in_f = act & ((phase == 2) | (is_h & (hdir == 3))) & ~in_e
+        moving = act & ~stop
+        op = jnp.where(do_m, 0, jnp.where(in_e, 2, jnp.where(in_f, 1, -1)))
+        op = jnp.where(moving, op, -1)
+        di = jnp.where(moving & (do_m | in_f), 1, 0)
+        dj = jnp.where(moving & (do_m | in_e), 1, 0)
+        phase = jnp.where(in_e & (eext == 1), 1,
+                          jnp.where(in_f & (fext == 1), 2, 0))
+        return (i - di, j - dj, phase, moving), op
+
+    (i_f, j_f, _, _), ops = jax.lax.scan(
+        step, (bi, bj, phase0, active0), None, length=max_steps)
+    return ops.astype(jnp.int8), i_f, j_f, bi, bj
+
+
+def _results_from_device_traceback(ops: np.ndarray, i_f, j_f, bi, bj,
+                                   best, read_lens) -> list[SWResult]:
+    """Host side: reverse + run-length-encode the per-lane op streams."""
+    B = ops.shape[1]
+    results: list[SWResult] = []
+    for b in range(B):
+        score = int(best[b])
+        rl = int(read_lens[b])
+        if score <= 0:
+            results.append(SWResult(
+                0, 0, 0, 0, 0, [(CIGAR_S, rl)] if rl else []))
+            continue
+        seq = ops[:, b]
+        seq = seq[seq >= 0][::-1]
+        cigar: Cigar = []
+        if i_f[b] > 0:
+            cigar.append((CIGAR_S, int(i_f[b])))
+        if len(seq):
+            breaks = np.nonzero(np.diff(seq))[0]
+            starts = np.concatenate([[0], breaks + 1])
+            ends = np.concatenate([breaks + 1, [len(seq)]])
+            for s, e in zip(starts, ends):
+                cigar.append((int(seq[s]), int(e - s)))
+        if rl - int(bi[b]) > 0:
+            cigar.append((CIGAR_S, rl - int(bi[b])))
+        results.append(SWResult(score, int(i_f[b]), int(bi[b]),
+                                int(j_f[b]), int(bj[b]), cigar))
+    return results
+
+
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+MAX_LANES_PER_CALL = 4096  # bounds the on-device pointer array (~0.4 GB)
 
 
 def sw_extend_batch(reads: np.ndarray, read_lens: np.ndarray,
@@ -284,12 +364,23 @@ def sw_extend_batch(reads: np.ndarray, read_lens: np.ndarray,
     if bucket is None:
         bucket = SWBucket(
             backend="pallas" if jax.default_backend() == "tpu" else "jax")
+    if reads.shape[0] > MAX_LANES_PER_CALL:
+        out: list[SWResult] = []
+        for s in range(0, reads.shape[0], MAX_LANES_PER_CALL):
+            e = s + MAX_LANES_PER_CALL
+            out.extend(sw_extend_batch(reads[s:e], read_lens[s:e],
+                                       windows[s:e], win_lens[s:e],
+                                       params, bucket))
+        return out
     B, Rin = reads.shape
     Win = windows.shape[1]
     if Rin > bucket.max_read_len or Win > bucket.max_win_len:
         raise ValueError("input exceeds SW bucket shape")
     R, W = bucket.max_read_len, bucket.max_win_len
-    Bp = _round_up(max(B, 1), LANES)
+    # power-of-two lane bucket: bounds compile variants to ~log2 shapes
+    Bp = LANES
+    while Bp < B:
+        Bp *= 2
 
     def pad_t(x, rows, fill):
         out = np.full((Bp, rows), fill, dtype=np.int32)
@@ -311,13 +402,24 @@ def sw_extend_batch(reads: np.ndarray, read_lens: np.ndarray,
         ptrs, best, bestpos = _sw_device(
             read_t, jnp.asarray(rlen_t), win_t, jnp.asarray(wlen_t),
             params=params, bucket=bucket)
+
+    if bucket.backend != "interpret":
+        # device traceback: the (D, R, B) pointer array stays in HBM
+        ops, i_f, j_f, bi, bj = _traceback_device(
+            ptrs, best[0], bestpos[0], max_steps=R + W)
+        return _results_from_device_traceback(
+            np.asarray(ops)[:, :B], np.asarray(i_f), np.asarray(j_f),
+            np.asarray(bi), np.asarray(bj), np.asarray(best)[0],
+            np.asarray(read_lens))
+
+    # interpret mode: host traceback paths (native C++ or python), which
+    # are also the correctness references for the device walker
     ptrs = np.asarray(ptrs)
     best = np.asarray(best)[0]
     bestpos = np.asarray(bestpos)[0]
-
     from ..io import native_ext
     nat = native_ext.sw_traceback_batch(
-        ptrs[:, :, :B] if B < ptrs.shape[2] else ptrs,
+        np.ascontiguousarray(ptrs[:, :, :B]),
         best[:B], bestpos[:B], np.asarray(read_lens, np.int32),
         POS_STRIDE)
     if nat is not None:
