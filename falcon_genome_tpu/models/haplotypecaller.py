@@ -169,6 +169,89 @@ def read_hap_likelihood_matrix(reads: list[SamRecord],
     return mat, [c for c, _ in clipped]
 
 
+def _hap_to_ref_events_multi(items: list[tuple[list[np.ndarray],
+                                               np.ndarray]]):
+    """Batched hap→ref alignment across regions: one SW call for the whole
+    interval.  Returns per-region hap_events lists (hap 0 = ref = [])."""
+    from ..ops.smith_waterman import SWBucket, sw_extend_batch
+    from ..ops.sw_ref import SWParams
+    import jax
+
+    jobs = []           # (region_idx, hap_idx, hap, ref)
+    for ri, (haps, ref) in enumerate(items):
+        for hi, h in enumerate(haps[1:], start=1):
+            jobs.append((ri, hi, h, ref))
+    if not jobs:
+        return [[[]] for _ in items]
+
+    maxh = max(len(h) for _, _, h, _ in jobs)
+    maxw = max(len(r) for _, _, _, r in jobs)
+    R = ((max(maxh, maxw, 32) + 31) // 32) * 32
+    W = ((max(maxw, 128) + 127) // 128) * 128
+    n = len(jobs)
+    reads = np.full((n, maxh), 4, np.uint8)
+    rl = np.zeros(n, np.int32)
+    wins = np.full((n, maxw), 4, np.uint8)
+    wl = np.zeros(n, np.int32)
+    for b, (_, _, h, r) in enumerate(jobs):
+        reads[b, :len(h)] = h
+        rl[b] = len(h)
+        wins[b, :len(r)] = r
+        wl[b] = len(r)
+    params = SWParams(match=2, mismatch=6, gap_open=12, gap_ext=1)
+    bucket = SWBucket(max_read_len=R, max_win_len=W,
+                      backend="pallas" if jax.default_backend() == "tpu"
+                      else "jax")
+    results = sw_extend_batch(reads, rl, wins, wl, params, bucket)
+
+    events_all = [[[]] + [None] * (len(haps) - 1) for haps, _ in items]
+    for (ri, hi, h, r), res in zip(jobs, results):
+        events_all[ri][hi] = (events_from_alignment(h, r, res)
+                              if res.score > 0 else None)
+    return events_all
+
+
+def _likelihoods_multi(staged: list[dict], gcp: int) -> list[np.ndarray]:
+    """Batched PairHMM across regions: one kernel batch for every
+    (region, read, hap) pair; returns per-region floored matrices."""
+    spans = []
+    total = 0
+    maxrl, maxhl = 8, 8
+    for s in staged:
+        n_r = len(s["reads"])
+        n_h = len(s["haps"])
+        spans.append((total, n_r, n_h))
+        total += n_r * n_h
+        maxrl = max(maxrl, max((len(c) for c, _ in s["clipped"]),
+                               default=8))
+        maxhl = max(maxhl, max(len(h) for h in s["haps"]))
+
+    codes = np.full((total, maxrl), 4, np.uint8)
+    quals = np.zeros((total, maxrl), np.uint8)
+    rlens = np.ones(total, np.int32)
+    hcodes = np.full((total, maxhl), 4, np.uint8)
+    hlens = np.ones(total, np.int32)
+    for s, (off, n_r, n_h) in zip(staged, spans):
+        for ri, (rc, q) in enumerate(s["clipped"]):
+            for hi, h in enumerate(s["haps"]):
+                b = off + ri * n_h + hi
+                codes[b, :len(rc)] = rc
+                quals[b, :len(q)] = q
+                rlens[b] = max(len(rc), 1)
+                hcodes[b, :len(h)] = h
+                hlens[b] = len(h)
+    gcps = np.full_like(quals, gcp)
+    indel_q = np.full_like(quals, 45)
+    logp = np.asarray(pairhmm_logp(
+        codes, quals, indel_q, indel_q, gcps, rlens, hcodes, hlens,
+        params=_default_pairhmm_params(maxrl, maxhl)))
+    out = []
+    for (off, n_r, n_h) in spans:
+        out.append(normalize_read_likelihoods(
+            logp[off:off + n_r * n_h].reshape(n_r, n_h)))
+    return out
+
+
 class HaplotypeCaller:
     def __init__(self, params: HTCParams = None):
         self.params = params or HTCParams()
@@ -212,14 +295,70 @@ class HaplotypeCaller:
             out.append(site_to_vcf_record(c, contig, rstart))
         return out
 
+    def _select_reads(self, records, rstart, rend):
+        p = self.params
+        reads = [r for r in records
+                 if not r.is_unmapped and not r.is_duplicate
+                 and not (r.flag & 0x900) and r.mapq >= p.min_mapq
+                 and r.pos < rend and r.end_pos > rstart
+                 and r.seq not in ("*", "")]
+        return reads[:p.max_reads_per_region]
+
     def call_interval(self, records: list[SamRecord], ref: np.ndarray,
                       contig: str, start: int, end: int) -> list[VcfRecord]:
-        """Full sharded-caller step: detect active regions then genotype."""
+        """Full sharded-caller step: detect active regions then genotype.
+
+        Device work is batched *across* regions: host assembly stages every
+        region first, then ONE Smith-Waterman batch aligns all assembled
+        haplotypes to their region references, then ONE PairHMM batch
+        scores every (region, read, hap) pair — a kernel launch per
+        interval, not per region (dispatch latency dominates small
+        launches on the remote-tunnel transport).
+        """
         p = self.params
         regions = find_active_regions(records, ref, start, end, p.active)
-        out: list[VcfRecord] = []
+
+        # ---- phase 1 (host): read selection + assembly per region --------
+        staged = []
         for rstart, rend in regions:
-            out.extend(self.call_region(records, ref, contig, rstart, rend))
+            reads = self._select_reads(records, rstart, rend)
+            if not reads:
+                continue
+            region_ref = ref[rstart:rend]
+            clipped = []
+            for rec in reads:
+                seq, qual = clip_read_to_region(rec, rstart, rend)
+                codes = encode_seq(seq) if seq else np.zeros(0, np.uint8)
+                q = (np.frombuffer(qual.encode(), np.uint8) - 33
+                     if qual not in ("*", "") and qual
+                     else np.full(len(codes), 30, np.uint8))
+                clipped.append((codes, q))
+            asm = assemble_region(region_ref,
+                                  [c for c, _ in clipped if len(c)],
+                                  p.assembly)
+            if len(asm.haplotypes) == 1:
+                continue
+            staged.append(dict(rstart=rstart, rend=rend, reads=reads,
+                               clipped=clipped, region_ref=region_ref,
+                               haps=asm.haplotypes))
+
+        out: list[VcfRecord] = []
+        if staged:
+            # ---- phase 2: one SW batch for all hap→ref alignments --------
+            hap_events_all = _hap_to_ref_events_multi(
+                [(s["haps"], s["region_ref"]) for s in staged])
+            # ---- phase 3: one PairHMM batch over all pairs ---------------
+            logp_all = _likelihoods_multi(staged, p.gcp)
+            # ---- phase 4 (host): genotyping per region -------------------
+            for s, hap_events, logp in zip(staged, hap_events_all,
+                                           logp_all):
+                calls = genotype_sites(hap_events, logp)
+                for c in calls:
+                    if c.qual < p.min_call_qual:
+                        continue
+                    if c.gt == (0, 0) and not p.emit_gvcf:
+                        continue
+                    out.append(site_to_vcf_record(c, contig, s["rstart"]))
         out.sort(key=lambda r: r.pos)
         # drop duplicate sites from overlapping regions
         dedup: list[VcfRecord] = []

@@ -339,6 +339,16 @@ def pairhmm_logp(read_codes, base_q, ins_q, del_q, gcp, read_lens,
     if params is None:
         params = PairHMMParams(
             backend="pallas" if jax.default_backend() == "tpu" else "jax")
+    MAX_LANES_PER_CALL = 8192
+    if read_codes.shape[0] > MAX_LANES_PER_CALL:
+        parts = []
+        for s in range(0, read_codes.shape[0], MAX_LANES_PER_CALL):
+            e = s + MAX_LANES_PER_CALL
+            parts.append(pairhmm_logp(
+                read_codes[s:e], base_q[s:e], ins_q[s:e], del_q[s:e],
+                gcp[s:e], read_lens[s:e], hap_codes[s:e], hap_lens[s:e],
+                params))
+        return jnp.concatenate(parts)
     B, Rin = read_codes.shape
     Hin = hap_codes.shape[1]
     R = _round_up(max(Rin, 8), 8)
@@ -349,7 +359,10 @@ def pairhmm_logp(read_codes, base_q, ins_q, del_q, gcp, read_lens,
         raise ValueError(f"hap bucket {Hin} exceeds {params.max_hap_len}")
     R = params.max_read_len
     H = params.max_hap_len
-    Bp = _round_up(max(B, 1), LANES)
+    # power-of-two lane bucket: bounds compile variants to ~log2 shapes
+    Bp = LANES
+    while Bp < B:
+        Bp *= 2
 
     def pad2(x, rows, fill=0):
         x = np.asarray(x)
