@@ -21,7 +21,7 @@ import numpy as np
 
 from .io.sam import (
     CIGAR_D, CIGAR_EQ, CIGAR_H, CIGAR_M, CIGAR_N, CIGAR_S, CIGAR_X,
-    FLAG_DUP, FLAG_SECONDARY, FLAG_SUPPLEMENTARY, FLAG_UNMAPPED,
+    FLAG_DUP, FLAG_SECONDARY, FLAG_SUPPLEMENTARY,
     SamRecord, cigar_ref_len,
 )
 

@@ -27,9 +27,9 @@ import os
 import re
 import sys
 from pathlib import Path
-from typing import Any, Callable
+from typing import Any
 
-from .utils.errors import OptionsError, SilentExit
+from .utils.errors import OptionsError
 
 log = logging.getLogger("falcon_genome_tpu")
 

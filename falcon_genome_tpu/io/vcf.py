@@ -13,7 +13,7 @@ import gzip
 from pathlib import Path
 
 from ..utils.errors import InvalidParam
-from .bgzf import BgzfWriter, is_bgzf
+from .bgzf import BgzfWriter
 
 MISSING = "."
 

@@ -19,8 +19,6 @@ from collections import defaultdict
 
 import numpy as np
 
-from ..io.dna import decode_seq
-
 MAX_PATHS = 128
 MAX_HAPLOTYPES = 16
 

@@ -11,12 +11,10 @@ from __future__ import annotations
 import logging
 from pathlib import Path
 
-import numpy as np
-
 from ..aligner import AlignerEngine, AlignerParams, make_sam_records
 from ..bamops import sort_records
 from ..config import Config
-from ..io.bam import BamWriter, write_bam
+from ..io.bam import write_bam
 from ..io.fastq import FastqReader
 from ..io.sam import SamRecord
 from ..pipeline.runner import PipelineRunner, stage

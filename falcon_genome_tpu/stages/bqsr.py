@@ -18,8 +18,7 @@ from ..io.vcf import read_vcf
 from ..pipeline.runner import PipelineRunner, stage
 from ..utils.common import check_input, check_output, get_contig_fname
 from .bamstages import load_bam_input
-from .common import (
-    header_from_fasta, interval_shards, load_fasta, records_in_shard)
+from .common import interval_shards, load_fasta, records_in_shard
 
 log = logging.getLogger("falcon_genome_tpu")
 
