@@ -138,6 +138,13 @@ class Mutect2:
                                              p.gcp)[0]
                   if n_reads else None)
 
+        return self._genotype_somatic(hap_events, logp_t, logp_n,
+                                      len(t_reads), contig, rstart)
+
+    def _genotype_somatic(self, hap_events, logp_t, logp_n,
+                          n_tumor: int, contig: str, rstart: int
+                          ) -> list[VcfRecord]:
+        p = self.params
         # candidate somatic events = union of events on assembled haps
         sites: dict[tuple[int, str], set[str]] = {}
         for evs in hap_events:
@@ -163,7 +170,7 @@ class Mutect2:
                         continue  # likely germline
                 t_alt = int(((La_t - Lr_t) > 0.3).sum())
                 t_ref = int(((Lr_t - La_t) > 0.3).sum())
-                info = {"TLOD": round(tlod, 2), "DP": len(t_reads)}
+                info = {"TLOD": round(tlod, 2), "DP": n_tumor}
                 samples = [{
                     "GT": "0/1", "AD": [t_ref, t_alt],
                     "AF": round(f_hat, 3), "DP": t_ref + t_alt}]
@@ -186,17 +193,68 @@ class Mutect2:
                       normal: list[SamRecord] | None,
                       ref: np.ndarray, contig: str, start: int, end: int
                       ) -> list[VcfRecord]:
-        regions = find_active_regions(tumor, ref, start, end,
-                                      self.params.active)
+        """Batched like the HaplotypeCaller: one SW call and one PairHMM
+        call per interval, covering every staged region's tumor+normal
+        reads (tumor rows first per region, split after)."""
+        from ..io.dna import encode_seq
+        from .haplotypecaller import (
+            _hap_to_ref_events_multi, _likelihoods_multi)
+
+        p = self.params
+        regions = find_active_regions(tumor, ref, start, end, p.active)
+
+        def usable(recs, rstart, rend):
+            out = [r for r in recs
+                   if not r.is_unmapped and not r.is_duplicate
+                   and not (r.flag & 0x900) and r.mapq >= p.min_mapq
+                   and r.pos < rend and r.end_pos > rstart
+                   and r.seq not in ("*", "")]
+            return out[:p.max_reads_per_region]
+
+        staged = []
+        for rstart, rend in regions:
+            t_reads = usable(tumor, rstart, rend)
+            if not t_reads:
+                continue
+            n_reads = usable(normal, rstart, rend) if normal else []
+            region_ref = ref[rstart:rend]
+            clipped = []
+            for rec in t_reads + n_reads:
+                seq, qual = clip_read_to_region(rec, rstart, rend)
+                codes = encode_seq(seq) if seq else np.zeros(0, np.uint8)
+                q = (np.frombuffer(qual.encode(), np.uint8) - 33
+                     if qual not in ("*", "") and qual
+                     else np.full(len(codes), 30, np.uint8))
+                clipped.append((codes, q))
+            asm = assemble_region(region_ref,
+                                  [c for c, _ in clipped if len(c)],
+                                  p.assembly)
+            if len(asm.haplotypes) == 1:
+                continue
+            staged.append(dict(rstart=rstart, rend=rend,
+                               reads=t_reads + n_reads,
+                               n_tumor=len(t_reads), clipped=clipped,
+                               region_ref=region_ref,
+                               haps=asm.haplotypes))
+
         out: list[VcfRecord] = []
         seen = set()
-        for rstart, rend in regions:
-            for rec in self.call_region(tumor, normal, ref, contig,
-                                        rstart, rend):
-                key = (rec.pos, rec.ref, tuple(rec.alts))
-                if key not in seen:
-                    seen.add(key)
-                    out.append(rec)
+        if staged:
+            hap_events_all = _hap_to_ref_events_multi(
+                [(s["haps"], s["region_ref"]) for s in staged])
+            logp_all = _likelihoods_multi(staged, p.gcp)
+            for s, hap_events, logp in zip(staged, hap_events_all,
+                                           logp_all):
+                nt = s["n_tumor"]
+                logp_t = logp[:nt]
+                logp_n = logp[nt:] if len(logp) > nt and normal else None
+                for rec in self._genotype_somatic(
+                        hap_events, logp_t, logp_n, nt, contig,
+                        s["rstart"]):
+                    key = (rec.pos, rec.ref, tuple(rec.alts))
+                    if key not in seen:
+                        seen.add(key)
+                        out.append(rec)
         out.sort(key=lambda r: r.pos)
         return out
 
