@@ -158,7 +158,7 @@ def build_option_table() -> dict[str, Option]:
         # ---- TPU engine (new; no reference analog) --------------------------
         O("tpu.mesh.data", int, -1, "data-parallel mesh axis size (-1 = all devices)"),
         O("tpu.mesh.region", int, 1, "region-parallel mesh axis size"),
-        O("tpu.batch.reads", int, 1024, "reads per device batch"),
+        O("tpu.batch.reads", int, 4096, "reads per device batch"),
         O("tpu.bucket.read_len", int, 160, "read length bucket (pad-to)"),
         O("tpu.bucket.hap_len", int, 512, "haplotype length bucket (pad-to)"),
         O("tpu.pairhmm.dtype", str, "float32", "PairHMM accumulation dtype"),

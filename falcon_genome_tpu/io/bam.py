@@ -24,25 +24,26 @@ _SEQ_ENC = {c: i for i, c in enumerate(_NT16)}
 _SEQ_ENC.update({c.lower(): i for i, c in enumerate(_NT16)})
 
 
+_SEQ_ENC_LUT = np.full(256, 15, dtype=np.uint8)
+for _c, _v in _SEQ_ENC.items():
+    _SEQ_ENC_LUT[ord(_c)] = _v
+_NT16_LUT = np.frombuffer(_NT16.encode(), dtype=np.uint8)
+
+
 def _pack_seq(seq: str) -> bytes:
     n = len(seq)
-    out = bytearray((n + 1) // 2)
-    for i, c in enumerate(seq):
-        v = _SEQ_ENC.get(c, 15)
-        if i % 2 == 0:
-            out[i // 2] = v << 4
-        else:
-            out[i // 2] |= v
-    return bytes(out)
+    codes = _SEQ_ENC_LUT[np.frombuffer(seq.encode(), np.uint8)]
+    if n % 2:
+        codes = np.append(codes, 0)
+    return ((codes[0::2] << 4) | codes[1::2]).astype(np.uint8).tobytes()
 
 
 def _unpack_seq(data: bytes, n: int) -> str:
-    out = []
-    for i in range(n):
-        b = data[i // 2]
-        v = (b >> 4) if i % 2 == 0 else (b & 0xF)
-        out.append(_NT16[v])
-    return "".join(out)
+    raw = np.frombuffer(data, np.uint8)
+    out = np.empty(2 * len(raw), np.uint8)
+    out[0::2] = raw >> 4
+    out[1::2] = raw & 0xF
+    return _NT16_LUT[out[:n]].tobytes().decode()
 
 
 def reg2bin(beg: int, end: int) -> int:
@@ -155,7 +156,8 @@ def _encode_record(rec: SamRecord) -> bytes:
     if rec.qual in ("*", "") or not l_seq:
         qual_bytes = b"\xff" * l_seq
     else:
-        qual_bytes = bytes((ord(c) - 33) for c in rec.qual)
+        qual_bytes = (np.frombuffer(rec.qual.encode(), np.uint8)
+                      - 33).astype(np.uint8).tobytes()
     tag_bytes = _encode_tags(rec.tags)
     end = rec.pos + 1 if not rec.cigar else rec.end_pos
     body = struct.pack(
@@ -184,7 +186,8 @@ def _decode_record(body: bytes) -> SamRecord:
     qual_raw = body[off:off + l_seq]
     off += l_seq
     qual = ("*" if (not l_seq or qual_raw[:1] == b"\xff")
-            else "".join(chr(q + 33) for q in qual_raw))
+            else (np.frombuffer(qual_raw, np.uint8) + 33)
+            .astype(np.uint8).tobytes().decode())
     tags = _decode_tags(body[off:])
     return SamRecord(qname, flag, tid, pos, mapq, cigar, mtid, mpos, tlen,
                      seq if l_seq else "*", qual, tags)

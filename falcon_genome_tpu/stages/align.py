@@ -57,7 +57,8 @@ def _seq_str(batch, i) -> str:
 
 def _qual_str(batch, i) -> str:
     q = batch.quals[i, :batch.lengths[i]]
-    return "".join(chr(int(x) + 33) for x in q)
+    import numpy as np
+    return (q.astype(np.uint8) + 33).tobytes().decode()
 
 
 def run_align(conf: Config, ref: str, output: str,
