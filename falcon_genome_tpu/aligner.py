@@ -32,7 +32,10 @@ from .io.sam import (
     FLAG_PROPER_PAIR, FLAG_READ1, FLAG_READ2, FLAG_REVERSE, FLAG_UNMAPPED,
     Cigar, SamHeader, SamRecord, cigar_to_str,
 )
-from .ops.smith_waterman import SWBucket, SWParams, sw_extend_batch
+from .ops.smith_waterman import (
+    SWBucket, SWParams, device_genome, device_reads, sw_extend_batch,
+    sw_extend_gather, sw_score_gather,
+)
 from .ops.sw_ref import SWResult
 
 
@@ -310,6 +313,22 @@ class AlignerEngine:
         self.index = index
         self.params = params or AlignerParams()
         self.bucket = bucket
+        self._genome_dev = None
+
+    @property
+    def genome_dev(self):
+        """Reference genome resident in HBM (shipped once, reused by every
+        batch's on-device window gather)."""
+        if self._genome_dev is None:
+            self._genome_dev = device_genome(self.index.genome)
+        return self._genome_dev
+
+    def _bucket(self) -> SWBucket:
+        if self.bucket is not None:
+            return self.bucket
+        import jax
+        return SWBucket(
+            backend="pallas" if jax.default_backend() == "tpu" else "jax")
 
     def _extend(self, jobs: list[tuple[np.ndarray, int, int]]
                 ) -> list[SWResult]:
@@ -337,56 +356,102 @@ class AlignerEngine:
 
     def align_batch(self, codes: np.ndarray, lengths: np.ndarray
                     ) -> list[Alignment]:
-        """Align a padded batch (B, L); returns best alignment per read."""
+        """Align a padded batch (B, L); returns best alignment per read.
+
+        Two device phases, minimal wire traffic (the reads ship once as
+        int8, the genome is already resident in HBM):
+
+        1. **score-only SW** over every chained candidate — no pointer
+           emission, the kernel returns one int32 score per lane;
+        2. **full SW + traceback** over only the winning candidate of each
+           read (the second-best score is kept as the mapq sub-score).
+        """
         p = self.params
+        bucket = self._bucket()
         B = codes.shape[0]
-        cand_lists: list[list[Candidate]] = []
-        jobs: list[tuple[np.ndarray, int, int]] = []
-        job_owner: list[tuple[int, int]] = []  # (read, candidate index)
         genome_len = len(self.index.genome)
 
+        # --- host: seeding + chaining --------------------------------------
+        cand_lists: list[list[Candidate]] = []
+        j_read, j_rev, j_rlen, j_start, j_wlen = [], [], [], [], []
         for b in range(B):
             rcodes = codes[b, :lengths[b]]
             cands = find_candidates(rcodes, self.index, p)
-            cand_lists.append(cands)
-            for ci, c in enumerate(cands):
-                qcodes = revcomp_codes(rcodes) if c.is_rev else rcodes
+            kept = []
+            for c in cands:
                 gstart = max(0, c.gdiag - p.window_pad)
-                wlen = min(len(qcodes) + 2 * p.window_pad,
+                wlen = min(int(lengths[b]) + 2 * p.window_pad,
                            genome_len - gstart)
                 if wlen <= 0:
                     continue
-                jobs.append((qcodes, gstart, wlen))
-                job_owner.append((b, ci))
-
-        results = self._extend(jobs)
+                kept.append(c)
+                j_read.append(b)
+                j_rev.append(c.is_rev)
+                j_rlen.append(int(lengths[b]))
+                j_start.append(gstart)
+                j_wlen.append(wlen)
+            cand_lists.append(kept)
 
         best: list[Alignment] = [
             Alignment(mapped=False, read_len=int(lengths[b]))
             for b in range(B)]
-        scores: list[list[tuple[int, SWResult, Candidate, int]]] = [
-            [] for _ in range(B)]
-        for (b, ci), res, (qcodes, gstart, wlen) in zip(
-                job_owner, results, jobs):
-            if res.score > 0:
-                scores[b].append((res.score, res, cand_lists[b][ci], gstart))
+        if not j_read:
+            return best
 
-        for b in range(B):
-            if not scores[b]:
+        # --- device: ship reads once, score every candidate -----------------
+        R = bucket.max_read_len
+        reads_pad = np.full((B, R), 4, np.uint8)
+        L = min(codes.shape[1], R)
+        reads_pad[:, :L] = codes[:, :L]
+        reads8_dev = device_reads(reads_pad)
+        j_read = np.asarray(j_read, np.int32)
+        j_rev = np.asarray(j_rev, bool)
+        j_rlen = np.asarray(j_rlen, np.int32)
+        j_start = np.asarray(j_start, np.int32)
+        j_wlen = np.asarray(j_wlen, np.int32)
+        scores, _ = sw_score_gather(
+            reads8_dev, j_read, j_rev, j_rlen, self.genome_dev,
+            j_start, j_wlen, p.sw, bucket)
+
+        # --- host: winner per read (ties → leftmost window) -----------------
+        order = np.lexsort((j_start, -scores, j_read))
+        first = np.ones(len(order), bool)
+        first[1:] = j_read[order][1:] != j_read[order][:-1]
+        win_rows = order[first]
+        win_rows = win_rows[scores[win_rows] > 0]
+        sub_of: dict[int, int] = {}
+        reads_sorted = j_read[order]
+        for k in np.flatnonzero(first):
+            if (k + 1 < len(order)
+                    and reads_sorted[k + 1] == reads_sorted[k]):
+                sub_of[int(reads_sorted[k])] = int(scores[order[k + 1]])
+
+        if len(win_rows) == 0:
+            return best
+
+        # --- device: full SW + traceback on winners only ---------------------
+        results = sw_extend_gather(
+            reads8_dev, j_read[win_rows], j_rev[win_rows], j_rlen[win_rows],
+            self.genome_dev, j_start[win_rows], j_wlen[win_rows],
+            p.sw, bucket)
+
+        for row, res in zip(win_rows, results):
+            if res.score <= 0:
                 continue
-            scores[b].sort(key=lambda t: (-t[0], t[3]))
-            score, res, cand, gstart = scores[b][0]
-            sub = scores[b][1][0] if len(scores[b]) > 1 else 0
+            b = int(j_read[row])
+            is_rev = bool(j_rev[row])
+            gstart = int(j_start[row])
+            sub = sub_of.get(b, 0)
             gpos = gstart + res.ref_start
             tid, pos = self.index.tid_of(gpos)
             rcodes = codes[b, :lengths[b]]
-            qcodes = revcomp_codes(rcodes) if cand.is_rev else rcodes
+            qcodes = revcomp_codes(rcodes) if is_rev else rcodes
             window = self.index.genome[gstart:gstart + res.ref_end]
             nm = _edit_distance(qcodes, window, res)
             best[b] = Alignment(
-                mapped=True, tid=tid, pos=pos, is_rev=cand.is_rev,
-                score=score, sub_score=sub,
-                mapq=_mapq(score, sub, int(lengths[b]), p.sw.match),
+                mapped=True, tid=tid, pos=pos, is_rev=is_rev,
+                score=res.score, sub_score=sub,
+                mapq=_mapq(res.score, sub, int(lengths[b]), p.sw.match),
                 cigar=list(res.cigar), nm=nm, read_len=int(lengths[b]))
         return best
 

@@ -74,48 +74,72 @@ def _shift_down(x: jnp.ndarray, fill_row: jnp.ndarray) -> jnp.ndarray:
 def _pairhmm_kernel(read_ref, perr_ref, pins_ref, pdel_ref, pcont_ref,
                     rlen_ref, hap_ref, hlen_ref,
                     acc_ref, shift_ref,
-                    m1_ref, i1_ref, d1_ref, m2_ref, i2_ref, d2_ref,
+                    m1_ref, d1_ref, is1_ref,
+                    msa_ref, msb_ref, idsa_ref, idsb_ref,
                     hapd_ref, bound_ref, acc2d_ref):
+    """Unroll-by-2 wavefront with ping-pong shifted state.
+
+    Instead of rotating six (d-1)/(d-2) state arrays every diagonal, the
+    kernel stores each generation's *pre-shifted* derived arrays —
+    MS = shift_down(M) and IDS = shift_down(I + D, boundary) — in two
+    alternating slots (a/b), and keeps only the newest generation's raw M,
+    D and shifted I.  One unrolled iteration advances two diagonals; the
+    slot holding generation d-2 is dead after the first sub-step and is
+    overwritten in place, so there are NO rotation copies, and the per-
+    diagonal shift count drops from 6 (5 state + hap) to 4
+    (hap, M, I, I+D).
+    """
     R = read_ref.shape[0]
     H = hap_ref.shape[0]
     B = read_ref.shape[1]
     f32 = jnp.float32
 
-    # ---- per-row transition probabilities (computed once) ------------------
+    # ---- per-row constants (computed once) ---------------------------------
     p_ins = pins_ref[:]
     p_del = pdel_ref[:]
     p_cont = pcont_ref[:]
     a_mm = 1.0 - jnp.minimum(1.0, p_ins + p_del)
     a_im = 1.0 - p_cont
     p_err = perr_ref[:]
+    prior_match = 1.0 - p_err
+    prior_mismatch = p_err * (1.0 / 3.0)
 
     read_codes = read_ref[:]                       # (R, B) int32
+    read_is_n = read_codes >= 4
     rlen = rlen_ref[:]                             # (1, B) int32
     hlen = hlen_ref[:]                             # (1, B) int32
     hlen_f = hlen.astype(f32)
 
     rvec = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)  # row index r
-
-    # ---- initial state -----------------------------------------------------
-    zero = jnp.zeros((R, B), f32)
-    m1_ref[:] = zero
-    i1_ref[:] = zero
-    d1_ref[:] = zero
-    m2_ref[:] = zero
-    i2_ref[:] = zero
-    d2_ref[:] = zero
-    hapd_ref[:] = jnp.zeros((R, B), jnp.int32)
-    acc2d_ref[:] = zero
-    shift_ref[:] = jnp.zeros((1, B), f32)
     # final-row mask is static per pair: row r contributes iff r+1 == rlen
     rowmask = (rvec + 1 == rlen).astype(f32)
 
-    ic = f32(2.0) ** 120
-    bound_ref[:] = ic / jnp.maximum(hlen_f, 1.0)   # D[0][j] = IC / hap_len
+    # ---- initial state -----------------------------------------------------
+    zero = jnp.zeros((R, B), f32)
+    zrow = jnp.zeros((1, B), f32)
+    m1_ref[:] = zero
+    d1_ref[:] = zero
+    is1_ref[:] = zero
+    msa_ref[:] = zero
+    msb_ref[:] = zero
+    hapd_ref[:] = jnp.zeros((R, B), jnp.int32)
+    acc2d_ref[:] = zero
+    shift_ref[:] = zrow
 
-    def step(d, carry):
-        boundary = bound_ref[:]
-        # haplotype diagonal: hapd[r] = hap[d - r - 2] (entering at r=0)
+    ic = f32(2.0) ** 120
+    bound0 = ic / jnp.maximum(hlen_f, 1.0)         # D[0][j] = IC / hap_len
+    bound_ref[:] = bound0
+    # IDS of generations -1 and 0: I = D = 0 everywhere, boundary fill
+    # entering at row 0 (represents D[0][j-1] feeding cell (1, j))
+    ids0 = jnp.concatenate([bound0, zero[:-1, :]], axis=0)
+    idsa_ref[:] = ids0
+    idsb_ref[:] = ids0
+
+    def substep(d, x_ms_ref, x_ids_ref, y_ms_ref):
+        """Advance diagonal d.  x_* holds generation d-2 (shifted); y_ms
+        holds generation d-1's shifted M; m1/d1/is1 hold generation d-1.
+        Writes generation d into m1/d1/is1 and its shifted forms into x_*
+        (whose prior contents are dead after this sub-step)."""
         new_hap_row = hap_ref[pl.ds(jnp.clip(d - 2, 0, H - 1), 1), :]
         hapd = _shift_down(hapd_ref[:], new_hap_row)
         hapd_ref[:] = hapd
@@ -125,27 +149,12 @@ def _pairhmm_kernel(read_ref, perr_ref, pins_ref, pdel_ref, pcont_ref,
 
         # emission prior at (r, j)
         match = jnp.logical_or(
-            read_codes == hapd,
-            jnp.logical_or(read_codes >= 4, hapd >= 4))
-        prior = jnp.where(match, 1.0 - p_err, p_err * (1.0 / 3.0))
+            read_codes == hapd, jnp.logical_or(read_is_n, hapd >= 4))
+        prior = jnp.where(match, prior_match, prior_mismatch)
 
-        m2s = _shift_down(m2_ref[:], jnp.zeros((1, B), f32))
-        i2s = _shift_down(i2_ref[:], jnp.zeros((1, B), f32))
-        d2s = _shift_down(d2_ref[:], boundary)     # D[0][j-1] boundary
-        m1s = _shift_down(m1_ref[:], jnp.zeros((1, B), f32))
-        i1s = _shift_down(i1_ref[:], jnp.zeros((1, B), f32))
-
-        m_new = prior * (m2s * a_mm + (i2s + d2s) * a_im) * live
-        i_new = (m1s * p_ins + i1s * p_cont) * live
+        m_new = prior * (x_ms_ref[:] * a_mm + x_ids_ref[:] * a_im) * live
+        i_new = (y_ms_ref[:] * p_ins + is1_ref[:] * p_cont) * live
         d_new = (m1_ref[:] * p_del + d1_ref[:] * p_cont) * live
-
-        # rotate state: (d-1) -> (d-2), new -> (d-1)
-        m2_ref[:] = m1_ref[:]
-        i2_ref[:] = i1_ref[:]
-        d2_ref[:] = d1_ref[:]
-        m1_ref[:] = m_new
-        i1_ref[:] = i_new
-        d1_ref[:] = d_new
 
         # accumulate final-row mass into a 2D accumulator (single
         # cross-sublane reduction at the end, not one per step); j >= 1 is
@@ -153,32 +162,46 @@ def _pairhmm_kernel(read_ref, perr_ref, pins_ref, pdel_ref, pcont_ref,
         amask = rowmask * (jvec <= hlen).astype(f32)
         acc2d_ref[:] = acc2d_ref[:] + (m_new + i_new) * amask
 
+        x_ms_ref[:] = _shift_down(m_new, zrow)
+        x_ids_ref[:] = _shift_down(i_new + d_new, bound_ref[:])
+        m1_ref[:] = m_new
+        d1_ref[:] = d_new
+        is1_ref[:] = _shift_down(i_new, zrow)
+
+    def step(k, carry):
+        d = 2 * k + 1
+        substep(d, msa_ref, idsa_ref, msb_ref)
+        substep(d + 1, msb_ref, idsb_ref, msa_ref)
+
         # periodic exact rescale of pairs whose state is vanishing
-        @pl.when(d % RESCALE_EVERY == 0)
+        @pl.when((d + 1) % RESCALE_EVERY == 0)
         def _():
             m = jnp.maximum(
-                jnp.max(jnp.abs(m1_ref[:]) + jnp.abs(i1_ref[:])
+                jnp.max(jnp.abs(m1_ref[:]) + jnp.abs(is1_ref[:])
                         + jnp.abs(d1_ref[:]), axis=0, keepdims=True),
-                jnp.max(jnp.abs(m2_ref[:]) + jnp.abs(i2_ref[:])
-                        + jnp.abs(d2_ref[:]), axis=0, keepdims=True))
+                jnp.max(jnp.abs(msa_ref[:]) + jnp.abs(msb_ref[:]),
+                        axis=0, keepdims=True))
             need = jnp.logical_and(m > 0.0, m < RESCALE_THRESH)
             scale = jnp.where(need, f32(RESCALE_FACTOR), f32(1.0))
             m1_ref[:] = m1_ref[:] * scale
-            i1_ref[:] = i1_ref[:] * scale
             d1_ref[:] = d1_ref[:] * scale
-            m2_ref[:] = m2_ref[:] * scale
-            i2_ref[:] = i2_ref[:] * scale
-            d2_ref[:] = d2_ref[:] * scale
+            is1_ref[:] = is1_ref[:] * scale
+            msa_ref[:] = msa_ref[:] * scale
+            msb_ref[:] = msb_ref[:] * scale
+            idsa_ref[:] = idsa_ref[:] * scale
+            idsb_ref[:] = idsb_ref[:] * scale
             acc2d_ref[:] = acc2d_ref[:] * scale
             shift_ref[:] = shift_ref[:] + jnp.where(
                 need, f32(RESCALE_SHIFT_LOG10), f32(0.0))
-            # the boundary row feeds cells until the last diagonal touches
-            # j-1 == 0; keep it on the same scale as the state
-            bound_ref[:] = boundary * scale
+            # the boundary feeds row 0 on every diagonal (directly, and
+            # embedded in each generation's IDS fill row); keep it on the
+            # same scale as the state
+            bound_ref[:] = bound_ref[:] * scale
 
         return carry
 
-    jax.lax.fori_loop(1, R + H + 1, step, 0)
+    # R and H are multiples of 8, so R + H diagonals == (R + H) / 2 pairs
+    jax.lax.fori_loop(0, (R + H) // 2, step, 0)
     acc_ref[:] = jnp.sum(acc2d_ref[:], axis=0, keepdims=True)
 
 
@@ -225,12 +248,13 @@ def _pairhmm_device(read_codes, base_q, ins_q, del_q, gcp, read_lens,
             jax.ShapeDtypeStruct((1, B), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((R, LANES), jnp.float32),  # m1
-            pltpu.VMEM((R, LANES), jnp.float32),  # i1
-            pltpu.VMEM((R, LANES), jnp.float32),  # d1
-            pltpu.VMEM((R, LANES), jnp.float32),  # m2
-            pltpu.VMEM((R, LANES), jnp.float32),  # i2
-            pltpu.VMEM((R, LANES), jnp.float32),  # d2
+            pltpu.VMEM((R, LANES), jnp.float32),  # m1   (M, newest gen)
+            pltpu.VMEM((R, LANES), jnp.float32),  # d1   (D, newest gen)
+            pltpu.VMEM((R, LANES), jnp.float32),  # is1  (shifted I, newest)
+            pltpu.VMEM((R, LANES), jnp.float32),  # msa  (shifted M, slot a)
+            pltpu.VMEM((R, LANES), jnp.float32),  # msb  (shifted M, slot b)
+            pltpu.VMEM((R, LANES), jnp.float32),  # idsa (shifted I+D, a)
+            pltpu.VMEM((R, LANES), jnp.float32),  # idsb (shifted I+D, b)
             pltpu.VMEM((R, LANES), jnp.int32),    # hap diagonal
             pltpu.VMEM((1, LANES), jnp.float32),  # D row-0 boundary
             pltpu.VMEM((R, LANES), jnp.float32),  # 2D final-row accumulator

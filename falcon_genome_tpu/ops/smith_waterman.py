@@ -18,6 +18,19 @@ Design mirrors the PairHMM wavefront (ops/pairhmm.py) in max-plus algebra:
 
 Pointer byte per cell: bits 0-1 hdir (0 stop, 1 diag, 2 from E/deletion,
 3 from F/insertion), bit 2 E-extend, bit 3 F-extend.
+
+Transfer discipline (the remote-tunnel host<->device link moves ~20-50 MB/s,
+so bytes on the wire dominate wall-clock long before kernel FLOPs do):
+
+* base codes travel as **int8** and are widened on device;
+* the reference genome is **resident in HBM** (`device_genome`) and candidate
+  windows are gathered on device from int32 start offsets — the host never
+  ships window bytes (`sw_score_gather` / `sw_extend_gather`);
+* each read is shipped **once per batch** (`device_reads`) and fanned out to
+  its candidate lanes on device, including on-device reverse-complement;
+* a **score-only kernel** (no pointer emission, no traceback) ranks
+  candidates; the full kernel runs only on winners;
+* traceback op streams come back packed 4 ops/byte.
 """
 from __future__ import annotations
 
@@ -125,8 +138,74 @@ def _sw_kernel(read_ref, rlen_ref, win_ref, wlen_ref,
     f1_ref[:] = f_new
 
 
-@functools.partial(jax.jit, static_argnames=("params", "bucket"))
-def _sw_device(read, rlen, win, wlen, *, params: SWParams, bucket: SWBucket):
+def _sw_score_kernel(read_ref, rlen_ref, win_ref, wlen_ref,
+                     score_ref, pos_ref,
+                     h1_ref, h2_ref, e1_ref, f1_ref, wind_ref,
+                     *, match: int, mismatch: int, go: int, ge: int):
+    """Score-only wavefront: no pointer emission, no direction decode.
+
+    The whole diagonal sweep runs inside ONE grid program per lane block
+    (fori_loop over diagonals), so nothing streams to HBM at all — only the
+    final (1, B) score/pos leave the kernel."""
+    R = read_ref.shape[0]
+    W = win_ref.shape[0]
+    B = read_ref.shape[1]
+    i32 = jnp.int32
+
+    h1_ref[:] = jnp.zeros((R, B), i32)
+    h2_ref[:] = jnp.zeros((R, B), i32)
+    e1_ref[:] = jnp.full((R, B), NEG, i32)
+    f1_ref[:] = jnp.full((R, B), NEG, i32)
+    wind_ref[:] = jnp.zeros((R, B), i32)
+    score_ref[:] = jnp.zeros((1, B), i32)
+    pos_ref[:] = jnp.zeros((1, B), i32)
+
+    rvec = jax.lax.broadcasted_iota(i32, (R, 1), 0)
+    read = read_ref[:]
+    rlen = rlen_ref[:]
+    wlen = wlen_ref[:]
+    zero_row = jnp.zeros((1, B), i32)
+    neg_row = jnp.full((1, B), NEG, i32)
+    rowvalid = rvec < rlen
+
+    def step(d, carry):
+        jvec = d - rvec
+        new_row = win_ref[pl.ds(jnp.clip(d - 1, 0, W - 1), 1), :]
+        wind = _shift_down(wind_ref[:], new_row)
+        wind_ref[:] = wind
+
+        h1 = h1_ref[:]
+        e_new = jnp.maximum(h1 - go, e1_ref[:] - ge)
+        h1s = _shift_down(h1, zero_row)
+        f_new = jnp.maximum(h1s - go, _shift_down(f1_ref[:], neg_row) - ge)
+        sub = jnp.where(read == wind, i32(match), i32(-mismatch))
+        diag = _shift_down(h2_ref[:], zero_row) + sub
+        h_new = jnp.maximum(jnp.maximum(0, diag), jnp.maximum(e_new, f_new))
+
+        valid = jnp.logical_and(
+            jnp.logical_and(jvec >= 1, jvec <= wlen), rowvalid)
+        h_new = jnp.where(valid, h_new, 0)
+        e1_ref[:] = jnp.where(valid, e_new, NEG)
+        f1_ref[:] = jnp.where(valid, f_new, NEG)
+
+        m = jnp.max(h_new, axis=0, keepdims=True)
+        rowarg = jnp.min(
+            jnp.where(h_new == m, rvec, jnp.full_like(rvec, 1 << 30)),
+            axis=0, keepdims=True)
+        upd = m > score_ref[:]
+        score_ref[:] = jnp.where(upd, m, score_ref[:])
+        pos_ref[:] = jnp.where(upd, d * POS_STRIDE + rowarg, pos_ref[:])
+
+        h2_ref[:] = h1
+        h1_ref[:] = h_new
+        return carry
+
+    jax.lax.fori_loop(1, R + W + 1, step, 0)
+
+
+def _sw_pallas_full(read, rlen, win, wlen, params: SWParams,
+                    interpret: bool = False):
+    """Full pallas call: (D, R, B) pointer array + score + pos."""
     R, B = read.shape
     W = win.shape[0]
     D = R + W
@@ -158,12 +237,57 @@ def _sw_device(read, rlen, win, wlen, *, params: SWParams, bucket: SWBucket):
             pltpu.VMEM((R, LANES), jnp.int32),  # F (d-1)
             pltpu.VMEM((R, LANES), jnp.int32),  # window diagonal
         ],
-        interpret=bucket.backend == "interpret",
+        interpret=interpret,
     )(read, rlen, win, wlen)
+
+
+def _sw_pallas_score(read, rlen, win, wlen, params: SWParams,
+                     interpret: bool = False):
+    """Score-only pallas call: (1, B) score + pos, nothing streamed to HBM."""
+    R, B = read.shape
+    W = win.shape[0]
+    nb = B // LANES
+
+    col = lambda rows: pl.BlockSpec(  # noqa: E731
+        (rows, LANES), lambda b: (0, b), memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        functools.partial(
+            _sw_score_kernel, match=params.match, mismatch=params.mismatch,
+            go=params.gap_open + params.gap_ext, ge=params.gap_ext),
+        grid=(nb,),
+        in_specs=[col(R), col(1), col(W), col(1)],
+        out_specs=(col(1), col(1)),
+        out_shape=(
+            jax.ShapeDtypeStruct((1, B), jnp.int32),
+            jax.ShapeDtypeStruct((1, B), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((R, LANES), jnp.int32),  # H (d-1)
+            pltpu.VMEM((R, LANES), jnp.int32),  # H (d-2)
+            pltpu.VMEM((R, LANES), jnp.int32),  # E (d-1)
+            pltpu.VMEM((R, LANES), jnp.int32),  # F (d-1)
+            pltpu.VMEM((R, LANES), jnp.int32),  # window diagonal
+        ],
+        interpret=interpret,
+    )(read, rlen, win, wlen)
+
+
+@functools.partial(jax.jit, static_argnames=("params", "bucket"))
+def _sw_device(read, rlen, win, wlen, *, params: SWParams, bucket: SWBucket):
+    return _sw_pallas_full(read.astype(jnp.int32), rlen,
+                           win.astype(jnp.int32), wlen, params,
+                           interpret=bucket.backend == "interpret")
 
 
 @functools.partial(jax.jit, static_argnames=("params", "R", "W"))
 def _sw_jax(read, rlen, win, wlen, *, params: SWParams, R: int, W: int):
+    return _sw_scan_core(read.astype(jnp.int32), rlen,
+                         win.astype(jnp.int32), wlen,
+                         params=params, R=R, W=W)
+
+
+def _sw_scan_core(read, rlen, win, wlen, *, params: SWParams, R: int, W: int):
     """Portable lax.scan version with identical semantics."""
     i32 = jnp.int32
     B = read.shape[1]
@@ -220,8 +344,177 @@ def _sw_jax(read, rlen, win, wlen, *, params: SWParams, R: int, W: int):
     return ptrs, best, bestpos
 
 
-def traceback(ptr: np.ndarray, score: int, pos: int, read_len: int,
-              lane: int) -> SWResult:
+# ---------------------------------------------------------------------------
+# device-resident genome + on-device lane assembly
+# ---------------------------------------------------------------------------
+
+def device_genome(genome_codes: np.ndarray) -> jnp.ndarray:
+    """Ship the reference genome to HBM once (int8); windows are gathered
+    from it on device thereafter."""
+    return jnp.asarray(np.asarray(genome_codes, np.int8))
+
+
+def device_reads(reads: np.ndarray) -> jnp.ndarray:
+    """Ship a (NR, R) batch of padded read codes once, time-major int8.
+
+    The lane-count axis is padded to a multiple of 128 for layout."""
+    NR, R = reads.shape
+    NRp = _round_up(max(NR, 1), 128)
+    out = np.full((NRp, R), 4, np.int8)
+    out[:NR] = reads
+    return jnp.asarray(out.T)
+
+
+def _lane_inputs(reads8, read_idx, is_rev, rlen, genome, starts, W):
+    """On-device assembly of per-lane (read, window) int32 tiles.
+
+    reads8: (R, NR) int8 resident reads; read_idx/is_rev/rlen/starts are
+    (1, B) lane metadata.  Reverse-strand lanes get the reverse complement
+    (row remap + 3-code), so the host never re-ships read bytes per
+    candidate."""
+    R = reads8.shape[0]
+    B = read_idx.shape[1]
+    read = jnp.take(reads8, read_idx[0], axis=1).astype(jnp.int32)  # (R, B)
+    rvec = jax.lax.broadcasted_iota(jnp.int32, (R, B), 0)
+    ridx = jnp.where(is_rev > 0, rlen - 1 - rvec, rvec)
+    gathered = jnp.take_along_axis(read, jnp.clip(ridx, 0, R - 1), axis=0)
+    comp = jnp.where(gathered < 4, 3 - gathered, gathered)
+    read = jnp.where(rvec < rlen,
+                     jnp.where(is_rev > 0, comp, gathered), 4)
+
+    G = genome.shape[0]
+    wvec = jax.lax.broadcasted_iota(jnp.int32, (W, B), 0)
+    widx = starts + wvec
+    valid = jnp.logical_and(widx >= 0, widx < G)
+    win = jnp.take(genome, jnp.clip(widx, 0, G - 1), axis=0).astype(jnp.int32)
+    win = jnp.where(valid, win, 5)     # 5 matches no base code
+    return read, win
+
+
+# lane metadata rows in the packed (5, B) int32 array (one transfer)
+_META_READ_IDX, _META_IS_REV, _META_RLEN, _META_START, _META_WLEN = range(5)
+
+
+@functools.partial(jax.jit, static_argnames=("params", "bucket"))
+def _sw_gather_score(reads8, meta, genome, *, params: SWParams,
+                     bucket: SWBucket):
+    rlen = meta[_META_RLEN:_META_RLEN + 1]
+    wlen = meta[_META_WLEN:_META_WLEN + 1]
+    read, win = _lane_inputs(
+        reads8, meta[_META_READ_IDX:_META_READ_IDX + 1],
+        meta[_META_IS_REV:_META_IS_REV + 1], rlen, genome,
+        meta[_META_START:_META_START + 1], bucket.max_win_len)
+    if bucket.backend == "jax":
+        _, best, bestpos = _sw_scan_core(
+            read, rlen, win, wlen, params=params,
+            R=bucket.max_read_len, W=bucket.max_win_len)
+        return best, bestpos
+    return _sw_pallas_score(read, rlen, win, wlen, params,
+                            interpret=bucket.backend == "interpret")
+
+
+@functools.partial(jax.jit, static_argnames=("params", "bucket", "max_steps"))
+def _sw_gather_full(reads8, meta, genome, *, params: SWParams,
+                    bucket: SWBucket, max_steps: int):
+    """Full alignment of gathered lanes: wavefront + on-device traceback.
+
+    One dispatch; the (D, R, B) pointer array never leaves HBM.  Returns the
+    packed op stream + path coordinates."""
+    rlen = meta[_META_RLEN:_META_RLEN + 1]
+    wlen = meta[_META_WLEN:_META_WLEN + 1]
+    read, win = _lane_inputs(
+        reads8, meta[_META_READ_IDX:_META_READ_IDX + 1],
+        meta[_META_IS_REV:_META_IS_REV + 1], rlen, genome,
+        meta[_META_START:_META_START + 1], bucket.max_win_len)
+    if bucket.backend == "jax":
+        ptrs, best, bestpos = _sw_scan_core(
+            read, rlen, win, wlen, params=params,
+            R=bucket.max_read_len, W=bucket.max_win_len)
+    else:
+        ptrs, best, bestpos = _sw_pallas_full(
+            read, rlen, win, wlen, params,
+            interpret=bucket.backend == "interpret")
+    packed, i_f, j_f, bi, bj = _traceback_core(
+        ptrs, best[0], bestpos[0], max_steps=max_steps)
+    return packed, i_f, j_f, bi, bj, best
+
+
+def _pack_meta(read_idx, is_rev, read_lens, win_starts, win_lens,
+               Bp: int) -> np.ndarray:
+    B = len(read_idx)
+    meta = np.zeros((5, Bp), np.int32)
+    meta[_META_READ_IDX, :B] = read_idx
+    meta[_META_IS_REV, :B] = np.asarray(is_rev, np.int32)
+    meta[_META_RLEN, :B] = read_lens
+    meta[_META_START, :B] = win_starts
+    meta[_META_WLEN, :B] = win_lens
+    return meta
+
+
+def _pow2_lanes(B: int) -> int:
+    Bp = LANES
+    while Bp < B:
+        Bp *= 2
+    return Bp
+
+
+def sw_score_gather(reads8_dev, read_idx, is_rev, read_lens, genome_dev,
+                    win_starts, win_lens, params: SWParams = SWParams(),
+                    bucket: SWBucket | None = None
+                    ) -> tuple[np.ndarray, np.ndarray]:
+    """Score-only SW over candidate lanes assembled on device.
+
+    reads8_dev/genome_dev come from device_reads()/device_genome(); the
+    host ships only the (5, B) lane metadata.  Returns (score, bestpos)
+    per lane."""
+    if bucket is None:
+        bucket = SWBucket(
+            backend="pallas" if jax.default_backend() == "tpu" else "jax")
+    B = len(read_idx)
+    if B == 0:
+        return np.zeros(0, np.int32), np.zeros(0, np.int32)
+    Bp = _pow2_lanes(B)
+    meta = jnp.asarray(_pack_meta(read_idx, is_rev, read_lens, win_starts,
+                                  win_lens, Bp))
+    best, pos = _sw_gather_score(reads8_dev, meta, genome_dev,
+                                 params=params, bucket=bucket)
+    return np.asarray(best)[0, :B], np.asarray(pos)[0, :B]
+
+
+def sw_extend_gather(reads8_dev, read_idx, is_rev, read_lens, genome_dev,
+                     win_starts, win_lens, params: SWParams = SWParams(),
+                     bucket: SWBucket | None = None) -> list[SWResult]:
+    """Full SW (CIGAR traceback) over candidate lanes assembled on device."""
+    if bucket is None:
+        bucket = SWBucket(
+            backend="pallas" if jax.default_backend() == "tpu" else "jax")
+    B = len(read_idx)
+    if B == 0:
+        return []
+    if B > MAX_LANES_PER_CALL:
+        out: list[SWResult] = []
+        for s in range(0, B, MAX_LANES_PER_CALL):
+            e = s + MAX_LANES_PER_CALL
+            out.extend(sw_extend_gather(
+                reads8_dev, read_idx[s:e], is_rev[s:e], read_lens[s:e],
+                genome_dev, win_starts[s:e], win_lens[s:e], params, bucket))
+        return out
+    Bp = _pow2_lanes(B)
+    meta_np = _pack_meta(read_idx, is_rev, read_lens, win_starts, win_lens,
+                         Bp)
+    # traceback length bound: path steps ≤ (read rows) + (window cols)
+    # actually touched; bucket to multiples of 128 to bound compile variants
+    need = int(np.max(meta_np[_META_RLEN]) + np.max(meta_np[_META_WLEN])) + 8
+    max_steps = min(bucket.max_read_len + bucket.max_win_len,
+                    _round_up(need, 128))
+    packed, i_f, j_f, bi, bj, best = _sw_gather_full(
+        reads8_dev, jnp.asarray(meta_np), genome_dev,
+        params=params, bucket=bucket, max_steps=max_steps)
+    ops = _unpack_ops(np.asarray(packed), max_steps)
+    return _results_from_device_traceback(
+        ops[:, :B], np.asarray(i_f), np.asarray(j_f),
+        np.asarray(bi), np.asarray(bj), np.asarray(best)[0],
+        np.asarray(read_lens))
     """Host traceback over the diagonal-major pointer array.
 
     ptr: (D, R, B) int8; cell (i, j) 1-based lives at ptr[i+j-1, i-1, lane].
@@ -273,12 +566,17 @@ def traceback(ptr: np.ndarray, score: int, pos: int, read_len: int,
 
 @functools.partial(jax.jit, static_argnames=("max_steps",))
 def _traceback_device(ptrs, best, bestpos, *, max_steps: int):
+    return _traceback_core(ptrs, best, bestpos, max_steps=max_steps)
+
+
+def _traceback_core(ptrs, best, bestpos, *, max_steps: int):
     """Vectorized traceback on device — the pointer array never leaves HBM.
 
     Walks all lanes in lockstep (one cell per step, ≤ R+W steps), emitting
     per-step op codes (-1 = none, else SAM op M/I/D).  The host only
-    receives the (max_steps, B) op stream + final coordinates — a few
-    hundred KB instead of the multi-GB pointer array.
+    receives the op stream — packed 4 ops/byte, (max_steps/4, B) — plus
+    final coordinates: a few hundred KB instead of the multi-GB pointer
+    array.
     """
     D, R, B = ptrs.shape
     flat = ptrs.reshape(D * R, B)
@@ -315,7 +613,22 @@ def _traceback_device(ptrs, best, bestpos, *, max_steps: int):
 
     (i_f, j_f, _, _), ops = jax.lax.scan(
         step, (bi, bj, phase0, active0), None, length=max_steps)
-    return ops.astype(jnp.int8), i_f, j_f, bi, bj
+    # pack 4 ops/byte (each op in -1..2 → biased 0..3): 4× less on the wire
+    S4 = (max_steps + 3) // 4 * 4
+    ops2 = jnp.pad((ops + 1).astype(jnp.uint8), ((0, S4 - max_steps), (0, 0)))
+    ops2 = ops2.reshape(S4 // 4, 4, B)
+    packed = (ops2[:, 0] | (ops2[:, 1] << 2) | (ops2[:, 2] << 4)
+              | (ops2[:, 3] << 6))
+    return packed, i_f, j_f, bi, bj
+
+
+def _unpack_ops(packed: np.ndarray, max_steps: int) -> np.ndarray:
+    """(S/4, B) packed bytes → (max_steps, B) int8 ops in -1..2."""
+    S4, B = packed.shape
+    out = np.empty((S4 * 4, B), np.int8)
+    for t in range(4):
+        out[t::4] = ((packed >> (2 * t)) & 3).astype(np.int8) - 1
+    return out[:max_steps]
 
 
 def _results_from_device_traceback(ops: np.ndarray, i_f, j_f, bi, bj,
@@ -383,7 +696,7 @@ def sw_extend_batch(reads: np.ndarray, read_lens: np.ndarray,
         Bp *= 2
 
     def pad_t(x, rows, fill):
-        out = np.full((Bp, rows), fill, dtype=np.int32)
+        out = np.full((Bp, rows), fill, dtype=np.int8)
         out[:B, :x.shape[1]] = x
         return out.T
 
@@ -405,10 +718,11 @@ def sw_extend_batch(reads: np.ndarray, read_lens: np.ndarray,
 
     if bucket.backend != "interpret":
         # device traceback: the (D, R, B) pointer array stays in HBM
-        ops, i_f, j_f, bi, bj = _traceback_device(
+        packed, i_f, j_f, bi, bj = _traceback_device(
             ptrs, best[0], bestpos[0], max_steps=R + W)
+        ops = _unpack_ops(np.asarray(packed), R + W)
         return _results_from_device_traceback(
-            np.asarray(ops)[:, :B], np.asarray(i_f), np.asarray(j_f),
+            ops[:, :B], np.asarray(i_f), np.asarray(j_f),
             np.asarray(bi), np.asarray(bj), np.asarray(best)[0],
             np.asarray(read_lens))
 

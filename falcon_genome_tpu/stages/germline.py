@@ -11,6 +11,7 @@ import logging
 from pathlib import Path
 
 from ..config import Config
+from ..utils.common import check_output
 from .align import run_align
 from .bamstages import run_markdup
 from .calling import run_htc
@@ -25,6 +26,10 @@ def run_germline(conf: Config, ref: str, output_vcf: str,
                  produce_vcf: bool = False, markdup: bool = True,
                  work_dir: str | None = None,
                  force: bool = False) -> str:
+    # validate the final output BEFORE any alignment work (the reference
+    # checks outputs in Worker::check() ahead of execution —
+    # src/common.cpp:75-114); run_htc re-checks, by then it's gone/allowed
+    check_output(output_vcf, force)
     work = Path(work_dir or (str(output_vcf) + ".work"))
     work.mkdir(parents=True, exist_ok=True)
 
