@@ -253,6 +253,106 @@ def find_candidates(read_codes: np.ndarray, index: MinimizerIndex,
     return cands[:params.max_candidates]
 
 
+def find_candidates_batch(codes: np.ndarray, lengths: np.ndarray,
+                          index: MinimizerIndex, params: AlignerParams
+                          ) -> list[list[Candidate]]:
+    """Vectorized find_candidates across a whole read batch.
+
+    Same semantics as mapping find_candidates over the rows (including
+    seed-cluster tie-breaking), but with ONE index lookup and ONE
+    lexsort-based clustering pass over all reads' seed hits instead of a
+    per-read python loop."""
+    k, w = index.params.k, index.params.w
+    B = codes.shape[0]
+    out: list[list[Candidate]] = [[] for _ in range(B)]
+
+    # per-read minimizers (native ext), concatenated with read ids
+    hs, rps, rss, rids = [], [], [], []
+    for b in range(B):
+        h, rp, rs = _minimizers(codes[b, :lengths[b]], k, w)
+        if len(h):
+            hs.append(h)
+            rps.append(rp)
+            rss.append(rs)
+            rids.append(np.full(len(h), b, np.int32))
+    if not hs:
+        return out
+    H = np.concatenate(hs)
+    RP = np.concatenate(rps)
+    RS = np.concatenate(rss)
+    RID = np.concatenate(rids)
+
+    # one lookup over all query hashes
+    lo = np.searchsorted(index.hashes, H, side="left")
+    hi = np.searchsorted(index.hashes, H, side="right")
+    counts = hi - lo
+    counts = np.where(counts > index.params.max_hits, 0, counts)
+    total = int(counts.sum())
+    if total == 0:
+        return out
+    qidx = np.repeat(np.arange(len(H)), counts)
+    offs = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    flat = np.repeat(lo, counts) + (np.arange(total) -
+                                    np.repeat(offs, counts))
+    gpos = index.positions[flat]
+    gstrand = index.strands[flat]
+
+    rid = RID[qidx]
+    rp = RP[qidx]
+    rev = gstrand != RS[qidx]
+    Lb = lengths[rid].astype(np.int64)
+    diag = np.where(rev, gpos - (Lb - k - rp), gpos - rp)
+
+    # cluster: contiguous runs in (read, strand, diag) order within band
+    order = np.lexsort((diag, rev, rid))
+    d = diag[order]
+    rv = rev[order]
+    ri = rid[order]
+    rp_s = rp[order]
+    newgrp = np.empty(len(d), bool)
+    newgrp[0] = True
+    newgrp[1:] = ((ri[1:] != ri[:-1]) | (rv[1:] != rv[:-1])
+                  | (d[1:] - d[:-1] > params.diag_band))
+    starts_g = np.flatnonzero(newgrp)
+    ends_g = np.concatenate([starts_g[1:], [len(d)]])
+    lens_g = ends_g - starts_g
+
+    # per-group stats (segments are contiguous → reduceat)
+    mid_lo = starts_g + (lens_g - 1) // 2
+    mid_hi = starts_g + lens_g // 2
+    # int(np.median(...)) semantics: average of middle two, trunc toward 0
+    med = np.trunc((d[mid_lo] + d[mid_hi]) / 2.0).astype(np.int64)
+    rp_max = np.maximum.reduceat(rp_s, starts_g)
+    rp_min = np.minimum.reduceat(rp_s, starts_g)
+    span = (rp_max - rp_min).astype(np.int64) + k
+    grp_read = ri[starts_g]
+    grp_rev = rv[starts_g]
+
+    keep = lens_g >= params.min_seeds
+    if not keep.any():
+        return out
+    med, span, lens_g = med[keep], span[keep], lens_g[keep]
+    grp_read, grp_rev = grp_read[keep], grp_rev[keep]
+
+    # per-read top max_candidates by (-nseeds, -span, gdiag); lexsort is
+    # stable so full ties keep (strand, diag) creation order like the
+    # per-read path
+    order2 = np.lexsort((med, -span, -lens_g, grp_read))
+    r_sorted = grp_read[order2]
+    firsts = np.empty(len(order2), bool)
+    firsts[0] = True
+    firsts[1:] = r_sorted[1:] != r_sorted[:-1]
+    grp_start = np.flatnonzero(firsts)
+    rank = np.arange(len(order2)) - np.repeat(
+        grp_start, np.diff(np.concatenate([grp_start, [len(order2)]])))
+    sel = order2[rank < params.max_candidates]
+    for g in sel:
+        out[int(grp_read[g])].append(Candidate(
+            gdiag=int(med[g]), is_rev=bool(grp_rev[g]),
+            nseeds=int(lens_g[g]), span=int(span[g])))
+    return out
+
+
 # ---------------------------------------------------------------------------
 # batch alignment engine
 # ---------------------------------------------------------------------------
@@ -327,7 +427,10 @@ class AlignerEngine:
         if self.bucket is not None:
             return self.bucket
         import jax
+        # aligner windows are read_len + 2*window_pad ≤ 160 + 64: a 256
+        # bucket cuts the diagonal count 576 → 416 vs the generic default
         return SWBucket(
+            max_win_len=256,
             backend="pallas" if jax.default_backend() == "tpu" else "jax")
 
     def _extend(self, jobs: list[tuple[np.ndarray, int, int]]
@@ -371,12 +474,13 @@ class AlignerEngine:
         B = codes.shape[0]
         genome_len = len(self.index.genome)
 
-        # --- host: seeding + chaining --------------------------------------
+        # --- host: seeding + chaining (vectorized across the batch) ---------
+        all_cands = find_candidates_batch(codes, np.asarray(lengths),
+                                          self.index, p)
         cand_lists: list[list[Candidate]] = []
         j_read, j_rev, j_rlen, j_start, j_wlen = [], [], [], [], []
         for b in range(B):
-            rcodes = codes[b, :lengths[b]]
-            cands = find_candidates(rcodes, self.index, p)
+            cands = all_cands[b]
             kept = []
             for c in cands:
                 gstart = max(0, c.gdiag - p.window_pad)

@@ -51,6 +51,12 @@ def load() -> ctypes.CDLL | None:
             ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+        lib.fg_ops_rle_batch.restype = None
+        lib.fg_ops_rle_batch.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
         _lib = lib
         log.debug("loaded native fgio: %s", _SO)
     except Exception as e:  # missing toolchain → python fallback
@@ -120,3 +126,28 @@ def sw_traceback_batch(ptr: np.ndarray, scores: np.ndarray,
         read_lens.ctypes.data, pos_stride, max_ops,
         out_ops.ctypes.data, out_lens.ctypes.data, out_meta.ctypes.data)
     return out_ops, out_lens, out_meta
+
+
+def ops_rle_batch(packed: np.ndarray, max_steps: int, read_start: np.ndarray,
+                  read_end: np.ndarray, best: np.ndarray,
+                  read_lens: np.ndarray, max_ops: int = 160):
+    """RLE the packed (S/4, B) device traceback op stream into per-lane
+    CIGARs.  Returns (ops, lens, ncigar): (B, max_ops) int32 ×2 + (B,)."""
+    lib = load()
+    if lib is None:
+        return None
+    packed = np.ascontiguousarray(packed, np.uint8)
+    S4, B = packed.shape
+    read_start = np.ascontiguousarray(read_start, np.int32)
+    read_end = np.ascontiguousarray(read_end, np.int32)
+    best = np.ascontiguousarray(best, np.int32)
+    read_lens = np.ascontiguousarray(read_lens, np.int32)
+    out_ops = np.zeros((B, max_ops), np.int32)
+    out_lens = np.zeros((B, max_ops), np.int32)
+    out_nc = np.zeros(B, np.int32)
+    lib.fg_ops_rle_batch(
+        packed.ctypes.data, S4, B, max_steps, read_start.ctypes.data,
+        read_end.ctypes.data, best.ctypes.data, read_lens.ctypes.data,
+        max_ops, out_ops.ctypes.data, out_lens.ctypes.data,
+        out_nc.ctypes.data)
+    return out_ops, out_lens, out_nc

@@ -354,15 +354,22 @@ def device_genome(genome_codes: np.ndarray) -> jnp.ndarray:
     return jnp.asarray(np.asarray(genome_codes, np.int8))
 
 
+@jax.jit
+def _transpose_dev(x):
+    return x.T
+
+
 def device_reads(reads: np.ndarray) -> jnp.ndarray:
     """Ship a (NR, R) batch of padded read codes once, time-major int8.
 
-    The lane-count axis is padded to a multiple of 128 for layout."""
+    The lane-count axis is padded to a multiple of 128 for layout.  The
+    host array goes over the wire contiguous (a strided transfer is ~3.5×
+    slower on the tunnel); the transpose happens on device."""
     NR, R = reads.shape
     NRp = _round_up(max(NR, 1), 128)
     out = np.full((NRp, R), 4, np.int8)
     out[:NR] = reads
-    return jnp.asarray(out.T)
+    return _transpose_dev(jnp.asarray(out))
 
 
 def _lane_inputs(reads8, read_idx, is_rev, rlen, genome, starts, W):
@@ -434,9 +441,10 @@ def _sw_gather_full(reads8, meta, genome, *, params: SWParams,
         ptrs, best, bestpos = _sw_pallas_full(
             read, rlen, win, wlen, params,
             interpret=bucket.backend == "interpret")
-    packed, i_f, j_f, bi, bj = _traceback_core(
+    packed, coords = _traceback_core(
         ptrs, best[0], bestpos[0], max_steps=max_steps)
-    return packed, i_f, j_f, bi, bj, best
+    return packed, jnp.concatenate(
+        [coords, best.astype(jnp.int32)], axis=0)       # coords+score (5, B)
 
 
 def _pack_meta(read_idx, is_rev, read_lens, win_starts, win_lens,
@@ -507,14 +515,13 @@ def sw_extend_gather(reads8_dev, read_idx, is_rev, read_lens, genome_dev,
     need = int(np.max(meta_np[_META_RLEN]) + np.max(meta_np[_META_WLEN])) + 8
     max_steps = min(bucket.max_read_len + bucket.max_win_len,
                     _round_up(need, 128))
-    packed, i_f, j_f, bi, bj, best = _sw_gather_full(
+    packed, coords5 = _sw_gather_full(
         reads8_dev, jnp.asarray(meta_np), genome_dev,
         params=params, bucket=bucket, max_steps=max_steps)
-    ops = _unpack_ops(np.asarray(packed), max_steps)
-    return _results_from_device_traceback(
-        ops[:, :B], np.asarray(i_f), np.asarray(j_f),
-        np.asarray(bi), np.asarray(bj), np.asarray(best)[0],
-        np.asarray(read_lens))
+    coords5 = np.asarray(coords5)
+    return _results_from_packed(
+        np.asarray(packed)[:, :B], max_steps, coords5[:4, :B],
+        coords5[4, :B], np.asarray(read_lens))
     """Host traceback over the diagonal-major pointer array.
 
     ptr: (D, R, B) int8; cell (i, j) 1-based lives at ptr[i+j-1, i-1, lane].
@@ -619,7 +626,37 @@ def _traceback_core(ptrs, best, bestpos, *, max_steps: int):
     ops2 = ops2.reshape(S4 // 4, 4, B)
     packed = (ops2[:, 0] | (ops2[:, 1] << 2) | (ops2[:, 2] << 4)
               | (ops2[:, 3] << 6))
-    return packed, i_f, j_f, bi, bj
+    # path coordinates ride back in ONE (4, B) array (each d2h pays ~ms of
+    # tunnel latency): rows = read_start, ref_start, read_end, ref_end
+    coords = jnp.stack([i_f, j_f, bi, bj]).astype(jnp.int32)
+    return packed, coords
+
+
+def _results_from_packed(packed: np.ndarray, max_steps: int,
+                         coords: np.ndarray, best: np.ndarray,
+                         read_lens: np.ndarray) -> list[SWResult]:
+    """Packed op streams + (4, B) coords → SWResults (native RLE when the
+    fgio extension is built, python fallback otherwise)."""
+    i_f, j_f, bi, bj = coords
+    from ..io import native_ext
+    nat = native_ext.ops_rle_batch(packed, max_steps, i_f, bi, best,
+                                   np.asarray(read_lens, np.int32))
+    if nat is not None:
+        ops_a, lens_a, nc = nat
+        results: list[SWResult] = []
+        for b in range(len(read_lens)):
+            n = int(nc[b])
+            cigar = list(zip(ops_a[b, :n].tolist(), lens_a[b, :n].tolist()))
+            if best[b] > 0:
+                results.append(SWResult(
+                    int(best[b]), int(i_f[b]), int(bi[b]), int(j_f[b]),
+                    int(bj[b]), cigar))
+            else:
+                results.append(SWResult(0, 0, 0, 0, 0, cigar))
+        return results
+    ops = _unpack_ops(packed, max_steps)
+    return _results_from_device_traceback(ops, i_f, j_f, bi, bj, best,
+                                          read_lens)
 
 
 def _unpack_ops(packed: np.ndarray, max_steps: int) -> np.ndarray:
@@ -718,13 +755,11 @@ def sw_extend_batch(reads: np.ndarray, read_lens: np.ndarray,
 
     if bucket.backend != "interpret":
         # device traceback: the (D, R, B) pointer array stays in HBM
-        packed, i_f, j_f, bi, bj = _traceback_device(
+        packed, coords = _traceback_device(
             ptrs, best[0], bestpos[0], max_steps=R + W)
-        ops = _unpack_ops(np.asarray(packed), R + W)
-        return _results_from_device_traceback(
-            ops[:, :B], np.asarray(i_f), np.asarray(j_f),
-            np.asarray(bi), np.asarray(bj), np.asarray(best)[0],
-            np.asarray(read_lens))
+        return _results_from_packed(
+            np.asarray(packed)[:, :B], R + W, np.asarray(coords)[:, :B],
+            np.asarray(best)[0, :B], np.asarray(read_lens))
 
     # interpret mode: host traceback paths (native C++ or python), which
     # are also the correctness references for the device walker

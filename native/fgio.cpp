@@ -251,4 +251,52 @@ void fg_sw_traceback_batch(const int8_t* ptr, int64_t D, int64_t R,
   }
 }
 
+// ---------------------------------------------------------------------------
+// packed op-stream RLE (must match smith_waterman._results_from_device_
+// traceback applied to _unpack_ops output)
+// ---------------------------------------------------------------------------
+
+// packed: (S4rows, B) uint8, 4 biased 2-bit ops per byte (0=none, 1=M,
+// 2=I, 3=D), step t of lane b at packed[(t>>2)*B + b] >> 2*(t&3).
+// The device traceback emits the alignment path back-to-front, so lanes
+// are RLE'd walking t = S-1 .. 0.  Per lane: leading soft clip read_start,
+// path ops, trailing soft clip read_len - read_end.  Op codes SAM numeric:
+// 0=M 1=I 2=D 4=S.
+void fg_ops_rle_batch(const uint8_t* packed, int64_t S4rows, int64_t B,
+                      int64_t S, const int32_t* read_start,
+                      const int32_t* read_end, const int32_t* best,
+                      const int32_t* read_lens, int32_t max_ops,
+                      int32_t* out_ops, int32_t* out_lens,
+                      int32_t* out_ncigar) {
+  (void)S4rows;
+  for (int64_t b = 0; b < B; b++) {
+    int32_t* ops = out_ops + b * max_ops;
+    int32_t* lens = out_lens + b * max_ops;
+    int nc = 0;
+    auto push = [&](int op, int len) {
+      if (len <= 0) return;
+      if (nc > 0 && ops[nc - 1] == op) {
+        lens[nc - 1] += len;
+      } else if (nc < max_ops) {
+        ops[nc] = op;
+        lens[nc] = len;
+        nc++;
+      }
+    };
+    int rl = read_lens[b];
+    if (best[b] <= 0) {
+      push(4, rl);
+      out_ncigar[b] = nc;
+      continue;
+    }
+    push(4, read_start[b]);
+    for (int64_t t = S - 1; t >= 0; t--) {
+      int v = (packed[(t >> 2) * B + b] >> (2 * (t & 3))) & 3;
+      if (v) push(v - 1, 1);
+    }
+    push(4, rl - read_end[b]);
+    out_ncigar[b] = nc;
+  }
+}
+
 }  // extern "C"

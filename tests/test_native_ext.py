@@ -85,3 +85,44 @@ class TestTraceback:
             assert res[b].cigar == want.cigar or \
                 sum(x for _, x in res[b].cigar) == \
                 sum(x for _, x in want.cigar)
+
+
+class TestOpsRle:
+    def test_matches_python_rle(self, rng):
+        """Native packed-op RLE must equal the python unpack+RLE path."""
+        from falcon_genome_tpu.ops.smith_waterman import (
+            _results_from_device_traceback, _unpack_ops)
+        import falcon_genome_tpu.io.native_ext as ne
+        if not ne.available():
+            import pytest
+            pytest.skip("native fgio not built")
+
+        B, S = 37, 96
+        # random biased 2-bit op streams incl. none(0) runs
+        ops = rng.integers(-1, 3, (S, B)).astype(np.int8)
+        best = rng.integers(0, 30, B).astype(np.int32)
+        best[::5] = 0                       # some unmapped lanes
+        i_f = rng.integers(0, 10, B).astype(np.int32)
+        j_f = rng.integers(0, 10, B).astype(np.int32)
+        bi = (i_f + rng.integers(0, 50, B)).astype(np.int32)
+        bj = (j_f + rng.integers(0, 50, B)).astype(np.int32)
+        rl = (bi + rng.integers(0, 20, B)).astype(np.int32)
+
+        S4 = (S + 3) // 4 * 4
+        ops2 = np.zeros((S4, B), np.uint8)
+        ops2[:S] = (ops + 1).astype(np.uint8)
+        o = ops2.reshape(S4 // 4, 4, B)
+        packed = (o[:, 0] | (o[:, 1] << 2) | (o[:, 2] << 4)
+                  | (o[:, 3] << 6)).astype(np.uint8)
+
+        assert np.array_equal(_unpack_ops(packed, S), ops)
+
+        want = _results_from_device_traceback(ops, i_f, j_f, bi, bj,
+                                              best, rl)
+        got_ops, got_lens, got_nc = ne.ops_rle_batch(
+            packed, S, i_f, bi, best, rl)
+        for b in range(B):
+            n = int(got_nc[b])
+            cigar = list(zip(got_ops[b, :n].tolist(),
+                             got_lens[b, :n].tolist()))
+            assert cigar == want[b].cigar, (b, cigar, want[b].cigar)
