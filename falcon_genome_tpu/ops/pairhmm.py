@@ -60,6 +60,7 @@ class PairHMMParams:
     max_read_len: int = 160   # must be a multiple of 8 (f32 sublanes)
     max_hap_len: int = 512
     backend: str = "pallas"
+    lanes: int = LANES        # pairs per kernel program (multiple of 128)
 
     @property
     def interpret(self) -> bool:
@@ -136,29 +137,32 @@ def _pairhmm_kernel(read_ref, perr_ref, pins_ref, pdel_ref, pcont_ref,
     idsb_ref[:] = ids0
 
     def substep(d, x_ms_ref, x_ids_ref, y_ms_ref):
-        """Advance diagonal d.  x_* holds generation d-2 (shifted); y_ms
-        holds generation d-1's shifted M; m1/d1/is1 hold generation d-1.
-        Writes generation d into m1/d1/is1 and its shifted forms into x_*
-        (whose prior contents are dead after this sub-step)."""
+        """Advance diagonal d (d ≥ 2).  x_* holds generation d-2 (shifted);
+        y_ms holds generation d-1's shifted M; m1/d1/is1 hold generation
+        d-1.  Writes generation d into m1/d1/is1 and its shifted forms into
+        x_* (whose prior contents are dead after this sub-step).
+
+        There is NO live/"cell started" mask: starting at d = 2, cells at
+        j <= 0 stay exactly zero by induction (the only nonzero fill is the
+        IDS boundary row, and row 0 of generation d is cell (1, d-1) with
+        d-1 >= 1 — a real cell whose M/I/D recurrences reference only the
+        DP boundary row, which the fills encode exactly)."""
         new_hap_row = hap_ref[pl.ds(jnp.clip(d - 2, 0, H - 1), 1), :]
         hapd = _shift_down(hapd_ref[:], new_hap_row)
         hapd_ref[:] = hapd
-
-        jvec = d - rvec - 1                        # hap position j at row r
-        live = (jvec >= 1).astype(f32)             # cells started
 
         # emission prior at (r, j)
         match = jnp.logical_or(
             read_codes == hapd, jnp.logical_or(read_is_n, hapd >= 4))
         prior = jnp.where(match, prior_match, prior_mismatch)
 
-        m_new = prior * (x_ms_ref[:] * a_mm + x_ids_ref[:] * a_im) * live
-        i_new = (y_ms_ref[:] * p_ins + is1_ref[:] * p_cont) * live
-        d_new = (m1_ref[:] * p_del + d1_ref[:] * p_cont) * live
+        m_new = prior * (x_ms_ref[:] * a_mm + x_ids_ref[:] * a_im)
+        i_new = y_ms_ref[:] * p_ins + is1_ref[:] * p_cont
+        d_new = m1_ref[:] * p_del + d1_ref[:] * p_cont
 
         # accumulate final-row mass into a 2D accumulator (single
-        # cross-sublane reduction at the end, not one per step); j >= 1 is
-        # already enforced by `live` inside m_new/i_new
+        # cross-sublane reduction at the end, not one per step)
+        jvec = d - rvec - 1                        # hap position j at row r
         amask = rowmask * (jvec <= hlen).astype(f32)
         acc2d_ref[:] = acc2d_ref[:] + (m_new + i_new) * amask
 
@@ -169,12 +173,12 @@ def _pairhmm_kernel(read_ref, perr_ref, pins_ref, pdel_ref, pcont_ref,
         is1_ref[:] = _shift_down(i_new, zrow)
 
     def step(k, carry):
-        d = 2 * k + 1
+        d = 2 * k + 2
         substep(d, msa_ref, idsa_ref, msb_ref)
         substep(d + 1, msb_ref, idsb_ref, msa_ref)
 
         # periodic exact rescale of pairs whose state is vanishing
-        @pl.when((d + 1) % RESCALE_EVERY == 0)
+        @pl.when((d + 2) % RESCALE_EVERY == 0)
         def _():
             m = jnp.maximum(
                 jnp.max(jnp.abs(m1_ref[:]) + jnp.abs(is1_ref[:])
@@ -207,10 +211,10 @@ def _pairhmm_kernel(read_ref, perr_ref, pins_ref, pdel_ref, pcont_ref,
 
 def _bucket_cost(p: PairHMMParams) -> pl.CostEstimate:
     steps = p.max_read_len + p.max_hap_len
-    elems = p.max_read_len * LANES * steps
+    elems = p.max_read_len * p.lanes * steps
     return pl.CostEstimate(
         flops=22 * elems,
-        bytes_accessed=(5 * 4 * p.max_read_len + p.max_hap_len) * LANES,
+        bytes_accessed=(5 * 4 * p.max_read_len + p.max_hap_len) * p.lanes,
         transcendentals=0,
     )
 
@@ -230,10 +234,11 @@ def _pairhmm_device(read_codes, base_q, ins_q, del_q, gcp, read_lens,
     p_cont = _phred_to_prob(gcp)
     R, B = read_codes.shape
     H = hap_codes.shape[0]
-    nblocks = B // LANES
+    L = params.lanes
+    nblocks = B // L
 
     col_spec = lambda rows: pl.BlockSpec(  # noqa: E731
-        (rows, LANES), lambda b: (0, b), memory_space=pltpu.VMEM)
+        (rows, L), lambda b: (0, b), memory_space=pltpu.VMEM)
 
     acc, shift = pl.pallas_call(
         _pairhmm_kernel,
@@ -248,16 +253,16 @@ def _pairhmm_device(read_codes, base_q, ins_q, del_q, gcp, read_lens,
             jax.ShapeDtypeStruct((1, B), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((R, LANES), jnp.float32),  # m1   (M, newest gen)
-            pltpu.VMEM((R, LANES), jnp.float32),  # d1   (D, newest gen)
-            pltpu.VMEM((R, LANES), jnp.float32),  # is1  (shifted I, newest)
-            pltpu.VMEM((R, LANES), jnp.float32),  # msa  (shifted M, slot a)
-            pltpu.VMEM((R, LANES), jnp.float32),  # msb  (shifted M, slot b)
-            pltpu.VMEM((R, LANES), jnp.float32),  # idsa (shifted I+D, a)
-            pltpu.VMEM((R, LANES), jnp.float32),  # idsb (shifted I+D, b)
-            pltpu.VMEM((R, LANES), jnp.int32),    # hap diagonal
-            pltpu.VMEM((1, LANES), jnp.float32),  # D row-0 boundary
-            pltpu.VMEM((R, LANES), jnp.float32),  # 2D final-row accumulator
+            pltpu.VMEM((R, L), jnp.float32),  # m1   (M, newest gen)
+            pltpu.VMEM((R, L), jnp.float32),  # d1   (D, newest gen)
+            pltpu.VMEM((R, L), jnp.float32),  # is1  (shifted I, newest)
+            pltpu.VMEM((R, L), jnp.float32),  # msa  (shifted M, slot a)
+            pltpu.VMEM((R, L), jnp.float32),  # msb  (shifted M, slot b)
+            pltpu.VMEM((R, L), jnp.float32),  # idsa (shifted I+D, a)
+            pltpu.VMEM((R, L), jnp.float32),  # idsb (shifted I+D, b)
+            pltpu.VMEM((R, L), jnp.int32),    # hap diagonal
+            pltpu.VMEM((1, L), jnp.float32),  # D row-0 boundary
+            pltpu.VMEM((R, L), jnp.float32),  # 2D final-row accumulator
         ],
         cost_estimate=_bucket_cost(params),
         interpret=params.interpret,
@@ -384,7 +389,7 @@ def pairhmm_logp(read_codes, base_q, ins_q, del_q, gcp, read_lens,
     R = params.max_read_len
     H = params.max_hap_len
     # power-of-two lane bucket: bounds compile variants to ~log2 shapes
-    Bp = LANES
+    Bp = params.lanes if params.backend != "jax" else LANES
     while Bp < B:
         Bp *= 2
 
