@@ -30,3 +30,31 @@ Package layout::
 """
 
 __version__ = "0.1.0"
+
+
+def _enable_compile_cache() -> None:
+    """Persistent XLA compilation cache, shared across processes.
+
+    The reference pipeline forks a fresh process per stage; ours likewise
+    runs each CLI subcommand as its own process, and a cold pallas-kernel
+    compile costs 20-40 s on the remote-TPU transport.  With the on-disk
+    cache a repeat shape loads in <1 s.  Opt out / relocate with
+    FCS_JAX_CACHE_DIR ("" disables).
+    """
+    import os
+    cache_dir = os.environ.get(
+        "FCS_JAX_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache",
+                     "falcon_genome_tpu", "jax"))
+    if not cache_dir:
+        return
+    try:
+        import jax
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:  # pragma: no cover - jax absent or flag renamed
+        pass
+
+
+_enable_compile_cache()

@@ -158,7 +158,11 @@ def _encode_record(rec: SamRecord) -> bytes:
     else:
         qual_bytes = (np.frombuffer(rec.qual.encode(), np.uint8)
                       - 33).astype(np.uint8).tobytes()
-    tag_bytes = _encode_tags(rec.tags)
+    raw_tags = rec._raw_tags
+    if raw_tags is not None and not rec._tags:
+        tag_bytes = raw_tags           # unparsed tags pass through verbatim
+    else:
+        tag_bytes = _encode_tags(rec.tags)
     end = rec.pos + 1 if not rec.cigar else rec.end_pos
     body = struct.pack(
         "<iiBBHHHiiii",
@@ -285,13 +289,56 @@ def write_bam(path: str | Path, header: SamHeader, records,
     return str(path)
 
 
+def _records_from_scan(blob: bytes, scan) -> list[SamRecord]:
+    """Assemble SamRecords from the native columnar scan (tags stay raw)."""
+    ok, fixed, offs, cig_off, cops, clens, seq_a, qual_a = scan
+    if not ok:
+        raise InvalidParam("truncated BAM record")
+    seq_s = seq_a.tobytes().decode("ascii")
+    qual_s = qual_a.tobytes().decode("ascii")
+    fx = fixed.tolist()
+    off_l = offs.tolist()
+    cg = cig_off.tolist()
+    cops_l = cops.tolist()
+    clens_l = clens.tolist()
+    recs: list[SamRecord] = []
+    for i in range(len(fx)):
+        (tid, pos, mapq, flag, lseq, mtid, mpos, tlen, nc, lname, qstar,
+         _end) = fx[i]
+        qo, to, tl, so = off_l[i]
+        c0 = cg[i]
+        cigar = list(zip(cops_l[c0:c0 + nc], clens_l[c0:c0 + nc])) \
+            if nc else []
+        r = SamRecord(
+            blob[qo:qo + lname].decode(), flag, tid, pos, mapq, cigar,
+            mtid, mpos, tlen,
+            seq_s[so:so + lseq] if lseq else "*",
+            "*" if qstar else qual_s[so:so + lseq])
+        if tl > 0:
+            r._raw_tags = blob[to:to + tl]
+        recs.append(r)
+    return recs
+
+
 def read_bam(path: str | Path) -> tuple[SamHeader, list[SamRecord]]:
+    from . import native_ext
     with BamReader(path) as r:
+        if native_ext.available():
+            blob = r._r.read(-1)
+            return r.header, _records_from_scan(blob,
+                                                native_ext.bam_scan(blob))
         return r.header, list(r)
 
 
 def read_bam_coords(path: str | Path) -> np.ndarray:
     """(n, 3) array of (tid, pos, flag) — fast scan for sort/dup checks."""
+    from . import native_ext
     with BamReader(path) as r:
+        if native_ext.available():
+            blob = r._r.read(-1)
+            ok, fixed, *_ = native_ext.bam_scan(blob)
+            if not ok:
+                raise InvalidParam("truncated BAM record")
+            return fixed[:, [0, 1, 3]].astype(np.int64)
         rows = [(rec.tid, rec.pos, rec.flag) for rec in r]
     return np.asarray(rows, dtype=np.int64).reshape(-1, 3)

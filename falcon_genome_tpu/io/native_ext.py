@@ -57,6 +57,14 @@ def load() -> ctypes.CDLL | None:
             ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+        lib.fg_bam_scan_sizes.restype = None
+        lib.fg_bam_scan_sizes.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
+        lib.fg_bam_scan.restype = None
+        lib.fg_bam_scan.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
         _lib = lib
         log.debug("loaded native fgio: %s", _SO)
     except Exception as e:  # missing toolchain → python fallback
@@ -151,3 +159,34 @@ def ops_rle_batch(packed: np.ndarray, max_steps: int, read_start: np.ndarray,
         max_ops, out_ops.ctypes.data, out_lens.ctypes.data,
         out_nc.ctypes.data)
     return out_ops, out_lens, out_nc
+
+
+def bam_scan(blob: bytes):
+    """Columnar scan of a concatenated BAM record stream.
+
+    Returns (ok, fixed (N,12) i32, offs (N,4) i64, cig_off (N,) i64,
+    cigar_ops/lens (T,) i32, seq_ascii/qual_ascii (S,) u8) or None when
+    the native lib is unavailable.  ok=False flags a truncated stream."""
+    lib = load()
+    if lib is None:
+        return None
+    src = np.frombuffer(blob, np.uint8)
+    n = len(blob)
+    sizes = np.zeros(4, np.int64)
+    lib.fg_bam_scan_sizes(src.ctypes.data if n else None, n,
+                          sizes.ctypes.data)
+    nrec, tseq, tcig, ok = (int(x) for x in sizes)
+    fixed = np.zeros((nrec, 12), np.int32)
+    offs = np.zeros((nrec, 4), np.int64)
+    cig_off = np.zeros(max(nrec, 1), np.int64)
+    cops = np.zeros(max(tcig, 1), np.int32)
+    clens = np.zeros(max(tcig, 1), np.int32)
+    seq = np.zeros(max(tseq, 1), np.uint8)
+    qual = np.zeros(max(tseq, 1), np.uint8)
+    if nrec:
+        lib.fg_bam_scan(src.ctypes.data, n, fixed.ctypes.data,
+                        offs.ctypes.data, cig_off.ctypes.data,
+                        cops.ctypes.data, clens.ctypes.data,
+                        seq.ctypes.data, qual.ctypes.data)
+    return (bool(ok), fixed, offs, cig_off[:nrec], cops[:tcig],
+            clens[:tcig], seq[:tseq], qual[:tseq])

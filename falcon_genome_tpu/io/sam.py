@@ -63,22 +63,69 @@ def cigar_ref_len(cigar: Cigar) -> int:
 
 # --- records ----------------------------------------------------------------
 
-@dataclasses.dataclass
 class SamRecord:
     """One alignment record. ``pos`` is 0-based (BAM convention); rendered
-    1-based in SAM text."""
-    qname: str
-    flag: int = FLAG_UNMAPPED
-    tid: int = -1          # index into header contigs; -1 = *
-    pos: int = -1          # 0-based leftmost; -1 = unmapped
-    mapq: int = 0
-    cigar: Cigar = dataclasses.field(default_factory=list)
-    mtid: int = -1
-    mpos: int = -1
-    tlen: int = 0
-    seq: str = "*"
-    qual: str = "*"        # ASCII phred+33
-    tags: dict[str, tuple[str, object]] = dataclasses.field(default_factory=dict)
+    1-based in SAM text.
+
+    Slotted (not a dataclass): the BAM reader materializes millions of
+    these, and tag parsing is deferred — ``_raw_tags`` holds the record's
+    raw BAM tag bytes until ``tags`` is first touched (most stages never
+    touch it, and the BAM writer re-emits raw bytes unchanged)."""
+
+    __slots__ = ("qname", "flag", "tid", "pos", "mapq", "cigar", "mtid",
+                 "mpos", "tlen", "seq", "qual", "_tags", "_raw_tags")
+
+    def __init__(self, qname: str, flag: int = FLAG_UNMAPPED, tid: int = -1,
+                 pos: int = -1, mapq: int = 0, cigar: Cigar | None = None,
+                 mtid: int = -1, mpos: int = -1, tlen: int = 0,
+                 seq: str = "*", qual: str = "*",
+                 tags: dict[str, tuple[str, object]] | None = None):
+        self.qname = qname
+        self.flag = flag
+        self.tid = tid
+        self.pos = pos
+        self.mapq = mapq
+        self.cigar = cigar if cigar is not None else []
+        self.mtid = mtid
+        self.mpos = mpos
+        self.tlen = tlen
+        self.seq = seq
+        self.qual = qual
+        self._tags = tags if tags is not None else {}
+        self._raw_tags = None
+
+    @property
+    def tags(self) -> dict[str, tuple[str, object]]:
+        if self._raw_tags is not None:
+            from .bam import _decode_tags
+            raw, self._raw_tags = self._raw_tags, None
+            decoded = _decode_tags(raw)
+            decoded.update(self._tags)      # explicit writes win
+            self._tags = decoded
+        return self._tags
+
+    @tags.setter
+    def tags(self, value) -> None:
+        self._tags = value
+        self._raw_tags = None
+
+    def __eq__(self, other) -> bool:
+        if not isinstance(other, SamRecord):
+            return NotImplemented
+        return (
+            self.qname, self.flag, self.tid, self.pos, self.mapq,
+            self.cigar, self.mtid, self.mpos, self.tlen, self.seq,
+            self.qual, self.tags) == (
+            other.qname, other.flag, other.tid, other.pos, other.mapq,
+            other.cigar, other.mtid, other.mpos, other.tlen, other.seq,
+            other.qual, other.tags)
+
+    def __repr__(self) -> str:
+        return (f"SamRecord(qname={self.qname!r}, flag={self.flag}, "
+                f"tid={self.tid}, pos={self.pos}, mapq={self.mapq}, "
+                f"cigar={self.cigar!r}, mtid={self.mtid}, mpos={self.mpos}, "
+                f"tlen={self.tlen}, seq={self.seq!r}, qual={self.qual!r}, "
+                f"tags={self.tags!r})")
 
     @property
     def is_unmapped(self) -> bool:

@@ -299,4 +299,117 @@ void fg_ops_rle_batch(const uint8_t* packed, int64_t S4rows, int64_t B,
   }
 }
 
+// ---------------------------------------------------------------------------
+// columnar BAM record scan (must match io.bam._decode_record field-for-field)
+// ---------------------------------------------------------------------------
+
+// buf: concatenated size-prefixed BAM records (the stream after the BAM
+// header).  Pass 0 sizes the outputs; pass 1 fills columns + decoded
+// seq/qual ASCII + unpacked cigars.  Tags stay raw byte spans (decoded
+// lazily python-side on first access).
+
+static const char NT16[17] = "=ACMGRSVTWYHKDBN";
+
+// out4: nrecords, total_lseq, total_cigar_ops, ok(1)/corrupt(0)
+void fg_bam_scan_sizes(const uint8_t* buf, int64_t n, int64_t* out4) {
+  int64_t off = 0, nrec = 0, tseq = 0, tcig = 0;
+  out4[3] = 1;
+  while (off + 4 <= n) {
+    int32_t size;
+    std::memcpy(&size, buf + off, 4);
+    if (size < 32 || off + 4 + size > n) {
+      out4[3] = 0;
+      break;
+    }
+    const uint8_t* p = buf + off + 4;
+    int32_t l_name = p[8];
+    uint16_t n_cigar;
+    std::memcpy(&n_cigar, p + 12, 2);
+    int32_t l_seq;
+    std::memcpy(&l_seq, p + 16, 4);
+    (void)l_name;
+    nrec++;
+    tseq += l_seq;
+    tcig += n_cigar;
+    off += 4 + size;
+  }
+  out4[0] = nrec;
+  out4[1] = tseq;
+  out4[2] = tcig;
+}
+
+// fixed (N,12) int32: tid,pos,mapq,flag,lseq,mtid,mpos,tlen,ncigar,
+//                     lname-1, qual_star, end_pos(0-based excl; pos+1 if
+//                     no ref-consuming ops)
+// offs  (N,4)  int64: qname_off(buf), tag_off(buf), tag_len, seq_out_off
+// cig_off (N,) int64 prefix offsets into cigar_ops/cigar_lens
+void fg_bam_scan(const uint8_t* buf, int64_t n,
+                 int32_t* fixed, int64_t* offs, int64_t* cig_off,
+                 int32_t* cigar_ops, int32_t* cigar_lens,
+                 uint8_t* seq_ascii, uint8_t* qual_ascii) {
+  int64_t off = 0, rec = 0, seq_out = 0, cig_out = 0;
+  while (off + 4 <= n) {
+    int32_t size;
+    std::memcpy(&size, buf + off, 4);
+    if (size < 32 || off + 4 + size > n) break;
+    const uint8_t* p = buf + off + 4;
+    int32_t tid, pos, l_seq, mtid, mpos, tlen;
+    std::memcpy(&tid, p, 4);
+    std::memcpy(&pos, p + 4, 4);
+    int32_t l_name = p[8];
+    int32_t mapq = p[9];
+    uint16_t n_cigar, flag;
+    std::memcpy(&n_cigar, p + 12, 2);
+    std::memcpy(&flag, p + 14, 2);
+    std::memcpy(&l_seq, p + 16, 4);
+    std::memcpy(&mtid, p + 20, 4);
+    std::memcpy(&mpos, p + 24, 4);
+    std::memcpy(&tlen, p + 28, 4);
+
+    int64_t qoff = off + 4 + 32;
+    const uint8_t* cp = p + 32 + l_name;
+    int64_t ref_len = 0;
+    for (int k = 0; k < n_cigar; k++) {
+      uint32_t v;
+      std::memcpy(&v, cp + 4 * k, 4);
+      int32_t opk = (int32_t)(v & 0xF);
+      int32_t lnk = (int32_t)(v >> 4);
+      cigar_ops[cig_out + k] = opk;
+      cigar_lens[cig_out + k] = lnk;
+      // ref-consuming: M D N = X  (0, 2, 3, 7, 8)
+      if (opk == 0 || opk == 2 || opk == 3 || opk == 7 || opk == 8)
+        ref_len += lnk;
+    }
+    const uint8_t* sp = cp + 4 * n_cigar;
+    const uint8_t* qp = sp + (l_seq + 1) / 2;
+    for (int64_t k = 0; k + 1 < l_seq; k += 2) {
+      uint8_t b = sp[k / 2];
+      seq_ascii[seq_out + k] = (uint8_t)NT16[b >> 4];
+      seq_ascii[seq_out + k + 1] = (uint8_t)NT16[b & 0xF];
+    }
+    if (l_seq & 1)
+      seq_ascii[seq_out + l_seq - 1] = (uint8_t)NT16[sp[(l_seq - 1) / 2] >> 4];
+    int qual_star = (l_seq == 0) || (qp[0] == 0xff);
+    for (int64_t k = 0; k < l_seq; k++)
+      qual_ascii[seq_out + k] = (uint8_t)(qp[k] + 33);
+    const uint8_t* tp = qp + l_seq;
+    int64_t tag_off = tp - buf;
+    int64_t tag_len = (off + 4 + size) - tag_off;
+
+    int32_t* f = fixed + rec * 12;
+    f[0] = tid; f[1] = pos; f[2] = mapq; f[3] = flag; f[4] = l_seq;
+    f[5] = mtid; f[6] = mpos; f[7] = tlen; f[8] = n_cigar;
+    f[9] = l_name - 1; f[10] = qual_star;
+    f[11] = (int32_t)(pos + ref_len);
+    int64_t* o = offs + rec * 4;
+    o[0] = qoff; o[1] = tag_off; o[2] = tag_len; o[3] = seq_out;
+    cig_off[rec] = cig_out;
+
+    seq_out += l_seq;
+    cig_out += n_cigar;
+    rec++;
+    off += 4 + size;
+  }
+}
+
 }  // extern "C"

@@ -126,3 +126,46 @@ class TestOpsRle:
             cigar = list(zip(got_ops[b, :n].tolist(),
                              got_lens[b, :n].tolist()))
             assert cigar == want[b].cigar, (b, cigar, want[b].cigar)
+
+
+class TestBamScan:
+    def test_matches_python_decoder(self, rng, tmp_path):
+        """Native columnar BAM scan must reproduce the streaming python
+        decoder record-for-record, including lazily-parsed tags."""
+        import falcon_genome_tpu.io.native_ext as ne
+        if not ne.available():
+            import pytest
+            pytest.skip("native fgio not built")
+        from falcon_genome_tpu.io.bam import (
+            BamReader, read_bam, write_bam)
+        from falcon_genome_tpu.io.sam import SamHeader, SamRecord
+
+        header = SamHeader(contigs=[("c1", 5000), ("c2", 3000)])
+        recs = []
+        for i in range(50):
+            seq = "".join(rng.choice(list("ACGT"), rng.integers(1, 80)))
+            r = SamRecord(
+                qname=f"q{i}", flag=int(rng.integers(0, 4096)),
+                tid=int(rng.integers(-1, 2)), pos=int(rng.integers(0, 4000)),
+                mapq=int(rng.integers(0, 61)),
+                cigar=[(0, len(seq))], seq=seq,
+                qual="".join(chr(33 + int(q))
+                             for q in rng.integers(0, 42, len(seq))))
+            r.set_tag("NM", "i", int(rng.integers(0, 5)))
+            r.set_tag("RG", "Z", "rg0")
+            if i % 3 == 0:
+                r.set_tag("BQ", "B", ("C", [1, 2, 250]))
+            if i % 7 == 0:
+                r.set_tag("XF", "f", 1.5)
+            recs.append(r)
+        recs.append(SamRecord(qname="empty"))  # unmapped, no seq
+        path = str(tmp_path / "t.bam")
+        write_bam(path, header, recs, index=False)
+
+        _, got = read_bam(path)               # native path
+        with BamReader(path) as r:
+            want = list(r)                     # python streaming path
+        assert len(got) == len(want) == len(recs)
+        for g, w in zip(got, want):
+            assert g == w, (g, w)
+            assert dict(g.tags) == dict(w.tags)
