@@ -206,6 +206,8 @@ class AlignerParams:
     max_insert: int = 1000    # proper-pair insert bound
     min_insert: int = 0
     unpaired_penalty: int = 17  # score penalty when mates can't pair (bwa -U)
+    min_rescue_score: int = 30  # accept a mate-rescue hit at/above this
+    rescue_window: int = 1024   # SW window bucket for mate rescue
 
 
 def find_candidates(read_codes: np.ndarray, index: MinimizerIndex,
@@ -457,6 +459,74 @@ class AlignerEngine:
         return sw_extend_batch(reads, rl, wins, wl, self.params.sw,
                                bucket=self.bucket)
 
+    # --- shared device-batch plumbing ---------------------------------------
+
+    def _build_jobs(self, codes: np.ndarray, lengths: np.ndarray):
+        """Candidate jobs for every read: parallel arrays + per-read row
+        slices (jobs of read b occupy rows slice_of[b]:slice_of[b+1])."""
+        p = self.params
+        B = codes.shape[0]
+        genome_len = len(self.index.genome)
+        all_cands = find_candidates_batch(codes, np.asarray(lengths),
+                                          self.index, p)
+        j_read, j_rev, j_rlen, j_start, j_wlen = [], [], [], [], []
+        slice_of = np.zeros(B + 1, np.int64)
+        for b in range(B):
+            for c in all_cands[b]:
+                gstart = max(0, c.gdiag - p.window_pad)
+                wlen = min(int(lengths[b]) + 2 * p.window_pad,
+                           genome_len - gstart)
+                if wlen <= 0:
+                    continue
+                j_read.append(b)
+                j_rev.append(c.is_rev)
+                j_rlen.append(int(lengths[b]))
+                j_start.append(gstart)
+                j_wlen.append(wlen)
+            slice_of[b + 1] = len(j_read)
+        return (np.asarray(j_read, np.int32), np.asarray(j_rev, bool),
+                np.asarray(j_rlen, np.int32), np.asarray(j_start, np.int32),
+                np.asarray(j_wlen, np.int32), slice_of)
+
+    def _ship_reads(self, codes: np.ndarray, lengths: np.ndarray):
+        bucket = self._bucket()
+        R = bucket.max_read_len
+        B = codes.shape[0]
+        reads_pad = np.full((B, R), 4, np.uint8)
+        L = min(codes.shape[1], R)
+        reads_pad[:, :L] = codes[:, :L]
+        return device_reads(reads_pad)
+
+    def _alignment_from(self, codes, lengths, b: int, is_rev: bool,
+                        gstart: int, res: SWResult, sub: int) -> Alignment:
+        p = self.params
+        gpos = gstart + res.ref_start
+        tid, pos = self.index.tid_of(gpos)
+        rcodes = codes[b, :lengths[b]]
+        qcodes = revcomp_codes(rcodes) if is_rev else rcodes
+        window = self.index.genome[gstart:gstart + res.ref_end]
+        nm = _edit_distance(qcodes, window, res)
+        return Alignment(
+            mapped=True, tid=tid, pos=pos, is_rev=is_rev,
+            score=res.score, sub_score=sub,
+            mapq=_mapq(res.score, sub, int(lengths[b]), p.sw.match),
+            cigar=list(res.cigar), nm=nm, read_len=int(lengths[b]))
+
+    @staticmethod
+    def _winners_and_subs(j_read, j_start, scores, nreads: int):
+        """Best positive-score job row per read + second-best score."""
+        order = np.lexsort((j_start, -scores, j_read))
+        reads_sorted = j_read[order]
+        first = np.ones(len(order), bool)
+        first[1:] = reads_sorted[1:] != reads_sorted[:-1]
+        win_rows = order[first]
+        win_rows = win_rows[scores[win_rows] > 0]
+        sub_of = np.zeros(nreads, np.int64)
+        second = np.zeros(len(order), bool)
+        second[1:] = first[:-1] & ~first[1:]
+        sub_of[reads_sorted[second]] = scores[order[second]]
+        return win_rows, sub_of
+
     def align_batch(self, codes: np.ndarray, lengths: np.ndarray
                     ) -> list[Alignment]:
         """Align a padded batch (B, L); returns best alignment per read.
@@ -472,92 +542,192 @@ class AlignerEngine:
         p = self.params
         bucket = self._bucket()
         B = codes.shape[0]
-        genome_len = len(self.index.genome)
-
-        # --- host: seeding + chaining (vectorized across the batch) ---------
-        all_cands = find_candidates_batch(codes, np.asarray(lengths),
-                                          self.index, p)
-        cand_lists: list[list[Candidate]] = []
-        j_read, j_rev, j_rlen, j_start, j_wlen = [], [], [], [], []
-        for b in range(B):
-            cands = all_cands[b]
-            kept = []
-            for c in cands:
-                gstart = max(0, c.gdiag - p.window_pad)
-                wlen = min(int(lengths[b]) + 2 * p.window_pad,
-                           genome_len - gstart)
-                if wlen <= 0:
-                    continue
-                kept.append(c)
-                j_read.append(b)
-                j_rev.append(c.is_rev)
-                j_rlen.append(int(lengths[b]))
-                j_start.append(gstart)
-                j_wlen.append(wlen)
-            cand_lists.append(kept)
-
+        j_read, j_rev, j_rlen, j_start, j_wlen, _ = self._build_jobs(
+            codes, lengths)
         best: list[Alignment] = [
             Alignment(mapped=False, read_len=int(lengths[b]))
             for b in range(B)]
-        if not j_read:
+        if not len(j_read):
             return best
 
-        # --- device: ship reads once, score every candidate -----------------
-        R = bucket.max_read_len
-        reads_pad = np.full((B, R), 4, np.uint8)
-        L = min(codes.shape[1], R)
-        reads_pad[:, :L] = codes[:, :L]
-        reads8_dev = device_reads(reads_pad)
-        j_read = np.asarray(j_read, np.int32)
-        j_rev = np.asarray(j_rev, bool)
-        j_rlen = np.asarray(j_rlen, np.int32)
-        j_start = np.asarray(j_start, np.int32)
-        j_wlen = np.asarray(j_wlen, np.int32)
+        reads8_dev = self._ship_reads(codes, lengths)
         scores, _ = sw_score_gather(
             reads8_dev, j_read, j_rev, j_rlen, self.genome_dev,
             j_start, j_wlen, p.sw, bucket)
-
-        # --- host: winner per read (ties → leftmost window) -----------------
-        order = np.lexsort((j_start, -scores, j_read))
-        first = np.ones(len(order), bool)
-        first[1:] = j_read[order][1:] != j_read[order][:-1]
-        win_rows = order[first]
-        win_rows = win_rows[scores[win_rows] > 0]
-        sub_of: dict[int, int] = {}
-        reads_sorted = j_read[order]
-        for k in np.flatnonzero(first):
-            if (k + 1 < len(order)
-                    and reads_sorted[k + 1] == reads_sorted[k]):
-                sub_of[int(reads_sorted[k])] = int(scores[order[k + 1]])
-
+        win_rows, sub_of = self._winners_and_subs(j_read, j_start, scores, B)
         if len(win_rows) == 0:
             return best
 
-        # --- device: full SW + traceback on winners only ---------------------
         results = sw_extend_gather(
             reads8_dev, j_read[win_rows], j_rev[win_rows], j_rlen[win_rows],
             self.genome_dev, j_start[win_rows], j_wlen[win_rows],
             p.sw, bucket)
-
         for row, res in zip(win_rows, results):
             if res.score <= 0:
                 continue
             b = int(j_read[row])
-            is_rev = bool(j_rev[row])
-            gstart = int(j_start[row])
-            sub = sub_of.get(b, 0)
-            gpos = gstart + res.ref_start
-            tid, pos = self.index.tid_of(gpos)
-            rcodes = codes[b, :lengths[b]]
-            qcodes = revcomp_codes(rcodes) if is_rev else rcodes
-            window = self.index.genome[gstart:gstart + res.ref_end]
-            nm = _edit_distance(qcodes, window, res)
-            best[b] = Alignment(
-                mapped=True, tid=tid, pos=pos, is_rev=is_rev,
-                score=res.score, sub_score=sub,
-                mapq=_mapq(res.score, sub, int(lengths[b]), p.sw.match),
-                cigar=list(res.cigar), nm=nm, read_len=int(lengths[b]))
+            best[b] = self._alignment_from(
+                codes, lengths, b, bool(j_rev[row]), int(j_start[row]), res,
+                int(sub_of[b]))
         return best
+
+    def align_pair_batch(self, codes1: np.ndarray, lengths1: np.ndarray,
+                         codes2: np.ndarray, lengths2: np.ndarray
+                         ) -> tuple[list[Alignment], list[Alignment]]:
+        """Pair-aware alignment of mate batches (bwa-mem semantics).
+
+        On top of the single-end two-phase flow:
+
+        * **joint candidate selection** — the winning (cand1, cand2) combo
+          maximizes score1 + score2 with FR orientation within the insert
+          bounds; the best unpaired combination is charged
+          ``unpaired_penalty`` (bwa -U);
+        * **mate rescue** — a fragment with one seeded mate and one
+          seedless mate SWs the missing mate against the anchor's expected
+          insert window on the opposite strand.
+        """
+        p = self.params
+        bucket = self._bucket()
+        B1 = codes1.shape[0]
+        L = max(codes1.shape[1], codes2.shape[1])
+        codes = np.full((2 * B1, L), 4, codes1.dtype)
+        codes[:B1, :codes1.shape[1]] = codes1
+        codes[B1:, :codes2.shape[1]] = codes2
+        lengths = np.concatenate(
+            [np.asarray(lengths1), np.asarray(lengths2)])
+
+        j_read, j_rev, j_rlen, j_start, j_wlen, slice_of = self._build_jobs(
+            codes, lengths)
+        best: list[Alignment] = [
+            Alignment(mapped=False, read_len=int(lengths[b]))
+            for b in range(2 * B1)]
+        reads8_dev = self._ship_reads(codes, lengths)
+        if len(j_read):
+            scores, _ = sw_score_gather(
+                reads8_dev, j_read, j_rev, j_rlen, self.genome_dev,
+                j_start, j_wlen, p.sw, bucket)
+        else:
+            scores = np.zeros(0, np.int64)
+        # approximate read-start position of each candidate (gdiag); exact
+        # coordinates come from the extension pass
+        j_pos = j_start.astype(np.int64) + np.minimum(p.window_pad, j_start)
+
+        # ---- dense (fragment, K) candidate tensors; all-combo pairing ------
+        K = p.max_candidates
+        NR = 2 * B1
+        J = len(j_read)
+        NEGK = np.int64(-1) << 40
+        d_score = np.full((NR, K), 0, np.int64)
+        d_row = np.full((NR, K), -1, np.int64)
+        d_rev = np.zeros((NR, K), bool)
+        d_pos = np.zeros((NR, K), np.int64)
+        d_rlen = np.zeros((NR, K), np.int64)
+        if J:
+            ranks = np.arange(J) - slice_of[j_read]
+            d_score[j_read, ranks] = np.where(scores > 0, scores, 0)
+            d_row[j_read, ranks] = np.where(scores > 0, np.arange(J), -1)
+            d_rev[j_read, ranks] = j_rev
+            d_pos[j_read, ranks] = j_pos
+            d_rlen[j_read, ranks] = j_rlen
+        s1, s2 = d_score[:B1], d_score[B1:]
+        rev1, rev2 = d_rev[:B1], d_rev[B1:]
+        pos1, pos2 = d_pos[:B1], d_pos[B1:]
+        rl1, rl2 = d_rlen[:B1], d_rlen[B1:]
+
+        # per-read best/second (tie → leftmost window start)
+        key = (d_score << 33) - d_pos
+        key[d_row < 0] = NEGK
+        arg_best = key.argmax(1)
+        best_score = d_score[np.arange(NR), arg_best]
+        key2 = key.copy()
+        key2[np.arange(NR), arg_best] = NEGK
+        arg2 = key2.argmax(1)
+        sub_of = np.where(key2[np.arange(NR), arg2] > NEGK,
+                          d_score[np.arange(NR), arg2], 0)
+
+        # all K×K combos: FR orientation within insert bounds
+        a_fwd = ~rev1[:, :, None]
+        span = np.where(
+            a_fwd,
+            (pos2[:, None, :] + rl2[:, None, :]) - pos1[:, :, None],
+            (pos1[:, :, None] + rl1[:, :, None]) - pos2[:, None, :])
+        ok = ((rev1[:, :, None] != rev2[:, None, :])
+              & (span >= p.min_insert) & (span <= p.max_insert)
+              & (s1[:, :, None] > 0) & (s2[:, None, :] > 0))
+        joint = np.where(ok, s1[:, :, None] + s2[:, None, :], -1)
+        jflat = joint.reshape(B1, K * K)
+        jarg = jflat.argmax(1)
+        jbest = jflat[np.arange(B1), jarg]
+        solo = (best_score[:B1] + best_score[B1:] - p.unpaired_penalty)
+        use_pair = (jbest > 0) & (jbest >= solo)
+
+        winner_row = np.where(
+            np.concatenate([use_pair, use_pair]),
+            np.concatenate([d_row[np.arange(B1), jarg // K],
+                            d_row[B1 + np.arange(B1), jarg % K]]),
+            d_row[np.arange(NR), arg_best])
+
+        # mate rescue: fragments with exactly one seeded mate
+        has1 = best_score[:B1] > 0
+        has2 = best_score[B1:] > 0
+        rescue: list[tuple[int, int]] = []
+        for f in np.flatnonzero(has1 ^ has2):
+            weak, strong = (B1 + f, f) if has1[f] else (f, B1 + f)
+            rescue.append((int(weak), int(winner_row[strong])))
+
+        rows = winner_row[winner_row >= 0].astype(np.int64)
+        if len(rows):
+            results = sw_extend_gather(
+                reads8_dev, j_read[rows], j_rev[rows], j_rlen[rows],
+                self.genome_dev, j_start[rows], j_wlen[rows], p.sw, bucket)
+            for row, res in zip(rows, results):
+                if res.score <= 0:
+                    continue
+                b = int(j_read[row])
+                best[b] = self._alignment_from(
+                    codes, lengths, b, bool(j_rev[row]), int(j_start[row]),
+                    res, int(sub_of[b]))
+
+        if rescue:
+            self._mate_rescue(rescue, best, codes, lengths, reads8_dev,
+                              j_rev, j_rlen, j_pos, bucket)
+        return best[:B1], best[B1:]
+
+    def _mate_rescue(self, rescue, best, codes, lengths, reads8_dev,
+                     j_rev, j_rlen, j_pos, bucket) -> None:
+        """SW the seedless mate against the anchor's insert window."""
+        p = self.params
+        G = len(self.index.genome)
+        W2 = p.rescue_window
+        span = min(p.max_insert, W2)
+        bucket2 = SWBucket(max_read_len=bucket.max_read_len,
+                           max_win_len=W2, backend=bucket.backend)
+        rr_read, rr_rev, rr_rlen, rr_start, rr_wlen = [], [], [], [], []
+        for b, anchor in rescue:
+            Lb = int(lengths[b])
+            arev = bool(j_rev[anchor])
+            apos = int(j_pos[anchor])
+            start = apos if not arev else apos + int(j_rlen[anchor]) - span
+            start = max(0, min(start, G - 1))
+            wlen = min(span, G - start)
+            if wlen < Lb // 2:
+                continue
+            rr_read.append(b)
+            rr_rev.append(not arev)
+            rr_rlen.append(Lb)
+            rr_start.append(start)
+            rr_wlen.append(wlen)
+        if not rr_read:
+            return
+        res2 = sw_extend_gather(
+            reads8_dev, np.asarray(rr_read, np.int32),
+            np.asarray(rr_rev, bool), np.asarray(rr_rlen, np.int32),
+            self.genome_dev, np.asarray(rr_start, np.int32),
+            np.asarray(rr_wlen, np.int32), p.sw, bucket2)
+        for b, rv, st, res in zip(rr_read, rr_rev, rr_start, res2):
+            if res.score >= p.min_rescue_score and not best[b].mapped:
+                best[b] = self._alignment_from(
+                    codes, lengths, b, rv, st, res, 0)
 
 
 # ---------------------------------------------------------------------------

@@ -30,20 +30,13 @@ def _align_read_group(engine: AlignerEngine, det: SampleDetails,
     reader = FastqReader(check_input(det.fastq1),
                          check_input(det.fastq2) if det.fastq2 else None,
                          batch_size=batch_size)
-    import numpy as np
     records: list[SamRecord] = []
     for b1, b2 in reader:
         if b2 is not None:
-            # R1+R2 fused into ONE device batch: half the dispatches, and
-            # the fixed per-call wire latency amortizes over 2× the lanes
-            n1 = len(b1.names)
-            L = max(b1.codes.shape[1], b2.codes.shape[1])
-            codes = np.full((n1 + len(b2.names), L), 4, b1.codes.dtype)
-            codes[:n1, :b1.codes.shape[1]] = b1.codes
-            codes[n1:, :b2.codes.shape[1]] = b2.codes
-            lengths = np.concatenate([b1.lengths, b2.lengths])
-            res = engine.align_batch(codes, lengths)
-            res1, res2 = res[:n1], res[n1:]
+            # mates align as ONE device batch with pair-aware selection
+            # (proper-pair bonus + mate rescue)
+            res1, res2 = engine.align_pair_batch(
+                b1.codes, b1.lengths, b2.codes, b2.lengths)
         else:
             res1 = engine.align_batch(b1.codes, b1.lengths)
             res2 = None

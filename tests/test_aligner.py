@@ -175,3 +175,73 @@ class TestSamEmission:
                                 Alignment(mapped=False, read_len=4))
         assert rec.flag & FLAG_UNMAPPED
         assert rec.tid == -1
+
+
+class TestPairAware:
+    def _frag(self, genome, rng, tid, pos, frag=400, rl=100):
+        name, seq = genome[tid]
+        r1 = seq[pos:pos + rl].copy()
+        r2 = revcomp_codes(seq[pos + frag - rl:pos + frag].copy())
+        return r1, r2
+
+    def test_pair_bonus_disambiguates_repeat(self, rng):
+        # genome with an exact repeat: R1 seeds both copies equally, only
+        # the proper-pair combo with R2 picks the right copy
+        rng2 = np.random.default_rng(11)
+        unit = rng2.integers(0, 4, 300).astype(np.uint8)
+        spacer = rng2.integers(0, 4, 2000).astype(np.uint8)
+        chrom = np.concatenate([unit, spacer, unit,
+                                rng2.integers(0, 4, 1000).astype(np.uint8)])
+        idx = MinimizerIndex([("c", chrom)], IndexParams(k=15, w=5))
+        eng = AlignerEngine(idx, AlignerParams(), bucket=BUCKET)
+        rl = 100
+        copy2 = 300 + 2000                      # start of second unit copy
+        r1 = chrom[copy2:copy2 + rl]            # inside the repeat (copy 2)
+        mate_pos = copy2 + 350 - rl             # unique spacer after copy 2
+        r2 = revcomp_codes(chrom[mate_pos:mate_pos + 350 - (350 - rl)
+                                 + (350 - rl)][:rl].copy())
+        r2 = revcomp_codes(chrom[copy2 + 250:copy2 + 350].copy())
+        a1, a2 = eng.align_pair_batch(
+            r1[None, :], np.array([rl]), r2[None, :], np.array([rl]))
+        assert a1[0].mapped and a2[0].mapped
+        assert a1[0].pos == copy2               # repeat resolved by the mate
+        assert a2[0].pos == copy2 + 250
+        assert not a1[0].is_rev and a2[0].is_rev
+
+    def test_mate_rescue_recovers_seedless_mate(self, genome, rng):
+        # every 10th base of mate 2 mutated: no clean 15-mer seeds exist
+        # (max run 9 < k), but 90% identity scores well above the rescue
+        # threshold — rescue must place it in the anchor's insert window
+        name, seq = genome[0]
+        rl, frag, pos = 100, 350, 1200
+        r1 = seq[pos:pos + rl].copy()
+        r2f = seq[pos + frag - rl:pos + frag].copy()
+        rng3 = np.random.default_rng(5)
+        mut = r2f.copy()
+        for p in range(0, rl, 10):              # every 10th base mutated
+            mut[p] = (mut[p] + 1 + rng3.integers(0, 3)) % 4
+        r2 = revcomp_codes(mut)
+        idx = MinimizerIndex(genome, IndexParams(k=15, w=5))
+        eng = AlignerEngine(idx, AlignerParams(), bucket=BUCKET)
+        # sanity: no candidates for the mutated mate on its own
+        assert not find_candidates(r2, idx, eng.params)
+        a1, a2 = eng.align_pair_batch(
+            r1[None, :], np.array([rl]), r2[None, :], np.array([rl]))
+        assert a1[0].mapped
+        assert a2[0].mapped, "mate rescue failed"
+        assert a2[0].is_rev
+        assert abs(a2[0].pos - (pos + frag - rl)) <= 8
+
+    def test_pairs_still_align_plain(self, engine, genome, rng):
+        codes, lens, truth = sample_reads(genome, rng, 16, error=0.01,
+                                          revcomp_frac=0.0)
+        # build mates 250bp downstream on the reverse strand
+        codes2 = np.zeros_like(codes)
+        for i, (cname, pos, _) in enumerate(truth):
+            seq = dict(genome)[cname]
+            s = min(pos + 150, len(seq) - 100)
+            codes2[i] = revcomp_codes(seq[s:s + 100].copy())
+        a1, a2 = engine.align_pair_batch(codes, lens, codes2, lens)
+        ok = sum(1 for i, (cname, pos, _) in enumerate(truth)
+                 if a1[i].mapped and a1[i].pos == pos)
+        assert ok >= 15
