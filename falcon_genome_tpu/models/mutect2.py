@@ -139,12 +139,21 @@ class Mutect2:
                   if n_reads else None)
 
         return self._genotype_somatic(hap_events, logp_t, logp_n,
-                                      len(t_reads), contig, rstart)
+                                      len(t_reads), contig, rstart,
+                                      t_reads=t_reads)
 
     def _genotype_somatic(self, hap_events, logp_t, logp_n,
-                          n_tumor: int, contig: str, rstart: int
+                          n_tumor: int, contig: str, rstart: int,
+                          t_reads: list[SamRecord] | None = None
                           ) -> list[VcfRecord]:
         p = self.params
+        # per-tumor-read strand + pair orientation (for the strand-bias and
+        # orientation-artifact filters; GATK SB / F1R2-F2R1 annotations)
+        t_rev = t_f1r2 = None
+        if t_reads is not None:
+            t_rev = np.array([r.is_reverse for r in t_reads], bool)
+            read2 = np.array([bool(r.flag & 0x80) for r in t_reads], bool)
+            t_f1r2 = t_rev == read2      # F1R2: R1 fwd, or R2 rev
         # candidate somatic events = union of events on assembled haps
         sites: dict[tuple[int, str], set[str]] = {}
         for evs in hap_events:
@@ -168,13 +177,24 @@ class Mutect2:
                     nlod = _nlod(Lr_n, La_n)
                     if nlod < p.nlod_threshold:
                         continue  # likely germline
-                t_alt = int(((La_t - Lr_t) > 0.3).sum())
-                t_ref = int(((Lr_t - La_t) > 0.3).sum())
+                alt_mask = (La_t - Lr_t) > 0.3
+                ref_mask = (Lr_t - La_t) > 0.3
+                t_alt = int(alt_mask.sum())
+                t_ref = int(ref_mask.sum())
                 info = {"TLOD": round(tlod, 2), "DP": n_tumor}
                 samples = [{
                     "GT": "0/1", "AD": [t_ref, t_alt],
                     "AF": round(f_hat, 3), "DP": t_ref + t_alt}]
                 fmt = ["GT", "AD", "AF", "DP"]
+                if t_rev is not None:
+                    sb = [int((ref_mask & ~t_rev).sum()),
+                          int((ref_mask & t_rev).sum()),
+                          int((alt_mask & ~t_rev).sum()),
+                          int((alt_mask & t_rev).sum())]
+                    samples[0]["SB"] = sb
+                    fmt = fmt + ["SB"]
+                    info["F1R2"] = int((alt_mask & t_f1r2).sum())
+                    info["F2R1"] = int((alt_mask & ~t_f1r2).sum())
                 if nlod is not None:
                     info["NLOD"] = round(nlod, 2)
                     n_alt = int(((La_n - Lr_n) > 0.3).sum())
@@ -250,7 +270,7 @@ class Mutect2:
                 logp_n = logp[nt:] if len(logp) > nt and normal else None
                 for rec in self._genotype_somatic(
                         hap_events, logp_t, logp_n, nt, contig,
-                        s["rstart"]):
+                        s["rstart"], t_reads=s["reads"][:nt]):
                     key = (rec.pos, rec.ref, tuple(rec.alts))
                     if key not in seen:
                         seen.add(key)
@@ -263,11 +283,44 @@ class Mutect2:
 # FilterMutectCalls analog (ref Mutect2FilterWorker, §2 row 16)
 # ---------------------------------------------------------------------------
 
+def _fisher_exact(a: int, b: int, c: int, d: int) -> float:
+    """Two-sided Fisher exact p for the 2×2 table [[a, b], [c, d]]."""
+    from math import exp, lgamma
+    n = a + b + c + d
+    if n == 0:
+        return 1.0
+
+    def logp(a_, b_, c_, d_):
+        return (lgamma(a_ + b_ + 1) + lgamma(c_ + d_ + 1)
+                + lgamma(a_ + c_ + 1) + lgamma(b_ + d_ + 1)
+                - lgamma(n + 1) - lgamma(a_ + 1) - lgamma(b_ + 1)
+                - lgamma(c_ + 1) - lgamma(d_ + 1))
+
+    row1, col1 = a + b, a + c
+    lo = max(0, col1 - (c + d))
+    hi = min(row1, col1)
+    p_obs = logp(a, b, c, d)
+    tot = 0.0
+    for x in range(lo, hi + 1):
+        lp = logp(x, row1 - x, col1 - x, (c + d) - (col1 - x))
+        if lp <= p_obs + 1e-7:
+            tot += exp(lp)
+    return min(1.0, tot)
+
+
 def filter_mutect_calls(records: list[VcfRecord],
                         min_tlod: float = 6.3,
                         min_alt_reads: int = 2,
-                        max_af_normal: float = 0.1) -> list[VcfRecord]:
-    """Annotate FILTER on Mutect2 emissions; returns the same records."""
+                        max_af_normal: float = 0.1,
+                        strand_p: float = 0.05,
+                        orientation_minor_frac: float = 0.1,
+                        orientation_min_alt: int = 4) -> list[VcfRecord]:
+    """Annotate FILTER on Mutect2 emissions; returns the same records.
+
+    Filters (GATK FilterMutectCalls analogs): weak_evidence (TLOD),
+    low_alt_count, germline (normal AF), strand_bias (Fisher exact on the
+    SB table), orientation (F1R2/F2R1 skew — the FFPE/oxoG artifact
+    signature)."""
     for r in records:
         filters = []
         tlod = float(r.info.get("TLOD", 0.0))
@@ -278,7 +331,24 @@ def filter_mutect_calls(records: list[VcfRecord],
             ad = [int(x) for x in (ad if isinstance(ad, (list, tuple))
                                    else str(ad).split(","))]
             if len(ad) > 1 and ad[1] < min_alt_reads:
-                filters.append("strict_strand")
+                filters.append("low_alt_count")
+            sb = r.samples[0].get("SB")
+            if sb is not None:
+                if not isinstance(sb, (list, tuple)):
+                    sb = [int(x) for x in str(sb).split(",")]
+                rf, rr, af, ar = (int(x) for x in sb)
+                if (af + ar >= min_alt_reads and min(af, ar) == 0
+                        and af + ar >= 3
+                        and _fisher_exact(rf, rr, af, ar) < strand_p):
+                    filters.append("strand_bias")
+        f1r2 = r.info.get("F1R2")
+        f2r1 = r.info.get("F2R1")
+        if f1r2 is not None and f2r1 is not None:
+            f1r2, f2r1 = int(f1r2), int(f2r1)
+            total = f1r2 + f2r1
+            if (total >= orientation_min_alt
+                    and min(f1r2, f2r1) / total <= orientation_minor_frac):
+                filters.append("orientation")
         if len(r.samples) > 1:
             af_n = float(r.samples[1].get("AF", 0.0))
             if af_n > max_af_normal:

@@ -80,3 +80,42 @@ class TestFilter:
         assert out[0].filter == "PASS"
         assert "weak_evidence" in out[1].filter
         assert "germline" in out[2].filter
+
+    def test_strand_bias_filtered(self):
+        # all 8 alt reads on the forward strand, ref reads balanced
+        biased = VcfRecord("chr1", 40, "A", ["C"], info={"TLOD": 25.0},
+                           fmt=["GT", "AD", "AF", "SB"],
+                           samples=[{"GT": "0/1", "AD": [30, 8], "AF": 0.2,
+                                     "SB": [15, 15, 8, 0]}])
+        balanced = VcfRecord("chr1", 50, "A", ["C"], info={"TLOD": 25.0},
+                             fmt=["GT", "AD", "AF", "SB"],
+                             samples=[{"GT": "0/1", "AD": [30, 8],
+                                       "AF": 0.2, "SB": [15, 15, 4, 4]}])
+        out = filter_mutect_calls([biased, balanced])
+        assert "strand_bias" in out[0].filter
+        assert "strand_bias" not in out[1].filter
+
+    def test_orientation_filtered(self):
+        skewed = VcfRecord("chr1", 60, "C", ["A"],
+                           info={"TLOD": 25.0, "F1R2": 9, "F2R1": 0},
+                           fmt=["GT", "AD", "AF"],
+                           samples=[{"GT": "0/1", "AD": [30, 9],
+                                     "AF": 0.23}])
+        even = VcfRecord("chr1", 70, "C", ["A"],
+                         info={"TLOD": 25.0, "F1R2": 5, "F2R1": 4},
+                         fmt=["GT", "AD", "AF"],
+                         samples=[{"GT": "0/1", "AD": [30, 9], "AF": 0.23}])
+        out = filter_mutect_calls([skewed, even])
+        assert "orientation" in out[0].filter
+        assert "orientation" not in out[1].filter
+
+    def test_sb_annotated_by_caller(self, rng, setting):
+        ref, alt = setting
+        tumor = simulate_reads(alt, ref, rng, n=80)
+        normal = simulate_reads(ref, ref, rng, n=200)
+        out = Mutect2().call_interval(tumor, normal, ref, "chr1", 0, 600)
+        assert out, "expected a somatic call"
+        assert "SB" in out[0].samples[0]
+        sb = out[0].samples[0]["SB"]
+        assert len(sb) == 4 and sum(sb[2:]) > 0
+        assert "F1R2" in out[0].info
