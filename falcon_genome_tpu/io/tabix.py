@@ -223,7 +223,7 @@ def query_vcf_region(vcf_gz: str | Path, contig: str, start: int, end: int):
             if not line or line.startswith("#"):
                 continue
             rec = record_from_line(line)
-            rec_end = rec.pos + len(rec.ref) - 1
+            rec_end = int(rec.info.get("END", rec.pos + len(rec.ref) - 1))
             if rec.contig == contig and rec.pos <= end and rec_end >= start:
                 out.append(rec)
     return out

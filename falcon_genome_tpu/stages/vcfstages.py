@@ -100,45 +100,42 @@ def run_vcf_filter(conf: Config, ref: str, input_path: str, output: str,
 # ---------------------------------------------------------------------------
 
 def _sample_evidence(records: list[VcfRecord]):
-    """Index one sample's gVCF: variant records by site + ref blocks."""
+    """Index one sample's gVCF slice: variants by site + sorted ref blocks
+    per contig (binary-searchable)."""
+    import bisect
     variants: dict[tuple[str, int], VcfRecord] = {}
-    blocks: list[tuple[str, int, int, int]] = []  # contig, start, end, gq
+    by_contig: dict[str, list[tuple[int, int, int, int]]] = {}
     for r in records:
         if r.is_gvcf_block:
-            gq = int(r.samples[0].get("GQ", 0)) if r.samples else 0
-            blocks.append((r.contig, r.pos, int(r.info["END"]), gq))
+            s0 = r.samples[0] if r.samples else {}
+            gq = int(s0.get("GQ", 0) or 0)
+            dp = int(s0.get("MIN_DP", s0.get("DP", 0)) or 0)
+            by_contig.setdefault(r.contig, []).append(
+                (r.pos, int(r.info["END"]), gq, dp))
         else:
             variants[(r.contig, r.pos)] = r
+    blocks = {}
+    for c, lst in by_contig.items():
+        lst.sort()
+        blocks[c] = (lst, [b[0] for b in lst])
     return variants, blocks
 
 
-def _block_gq_at(blocks, contig: str, pos: int) -> int | None:
-    for c, s, e, gq in blocks:
-        if c == contig and s <= pos <= e:
-            return gq
+def _block_at(blocks, contig: str, pos: int) -> tuple[int, int] | None:
+    """(GQ, DP) of the hom-ref block covering pos, binary search."""
+    import bisect
+    ent = blocks.get(contig)
+    if ent is None:
+        return None
+    lst, starts = ent
+    i = bisect.bisect_right(starts, pos) - 1
+    if i >= 0 and lst[i][0] <= pos <= lst[i][1]:
+        return lst[i][2], lst[i][3]
     return None
 
 
-def run_joint(conf: Config, ref: str, input_path: str, output: str,
-              force: bool = False) -> str:
-    """Joint genotyping: merge per-sample gVCFs into a multi-sample VCF."""
-    output = check_output(output, force)
-    if Path(input_path).is_dir():
-        paths = get_input_list(input_path, r".*\.(g\.vcf|gvcf)(\.gz)?")
-    else:
-        paths = [check_input(input_path)]
-
-    sample_names: list[str] = []
-    evidence = []
-    contigs = None
-    for p in paths:
-        header, records = read_vcf(p)
-        name = header.samples[0] if header.samples else Path(p).stem
-        sample_names.append(name)
-        evidence.append(_sample_evidence(records))
-        contigs = contigs or header.contigs
-
-    # union of variant sites
+def _merge_shard_sites(evidence, sample_names) -> list[VcfRecord]:
+    """Position-keyed merge of per-sample evidence within one shard."""
     sites: dict[tuple[str, int], tuple[str, list[str]]] = {}
     for variants, _ in evidence:
         for (contig, pos), rec in variants.items():
@@ -150,8 +147,6 @@ def run_joint(conf: Config, ref: str, input_path: str, output: str,
                     alts.append(a)
             sites[(contig, pos)] = (ref_a, alts)
 
-    out_header = VcfHeader(contigs=contigs or [], samples=sample_names,
-                           meta=list(STANDARD_META))
     out_records: list[VcfRecord] = []
     for (contig, pos), (ref_a, alts) in sorted(sites.items()):
         if not alts:
@@ -159,6 +154,7 @@ def run_joint(conf: Config, ref: str, input_path: str, output: str,
         samples_fmt = []
         qual = 0.0
         total_dp = 0
+        an = 0
         for (variants, blocks) in evidence:
             rec = variants.get((contig, pos))
             if rec is not None and rec.samples:
@@ -168,6 +164,7 @@ def run_joint(conf: Config, ref: str, input_path: str, output: str,
                 local = [rec.ref] + [a for a in rec.alts
                                      if a != "<NON_REF>"]
                 merged = [ref_a] + alts
+
                 def remap(tok):
                     if not tok.isdigit():
                         return "."
@@ -180,20 +177,120 @@ def run_joint(conf: Config, ref: str, input_path: str, output: str,
                 if rec.qual:
                     qual += rec.qual
                 total_dp += int(s.get("DP", 0) or 0)
+                an += sum(1 for t in re.split(r"[/|]", s["GT"])
+                          if t.isdigit())
             else:
-                gq = _block_gq_at(blocks, contig, pos)
-                if gq is None:
+                cov = _block_at(blocks, contig, pos)
+                if cov is None:
                     samples_fmt.append({"GT": "./."})
                 else:
-                    samples_fmt.append({"GT": "0/0", "GQ": gq, "DP": 0})
+                    gq, dp = cov
+                    # GQ-aware PL reconstitution: a hom-ref block at GQ g
+                    # caps the het PL at g (GATK GenotypeGVCFs analog)
+                    samples_fmt.append({
+                        "GT": "0/0", "GQ": gq, "DP": dp,
+                        "PL": [0, gq, max(2 * gq, gq)]})
+                    total_dp += dp
+                    an += 2
         out_records.append(VcfRecord(
             contig=contig, pos=pos, ref=ref_a, alts=alts,
             qual=qual or None, filter="PASS",
-            info={"DP": total_dp, "AN": 2 * len(sample_names)},
+            info={"DP": total_dp, "AN": an},
             fmt=["GT", "AD", "DP", "GQ", "PL"],
             samples=samples_fmt))
-    out_records = sort_vcf(out_records, out_header)
-    write_vcf(output, out_header, out_records)
-    log.info("joint: %d samples, %d sites → %s",
-             len(sample_names), len(out_records), output)
+    return out_records
+
+
+def run_joint(conf: Config, ref: str, input_path: str, output: str,
+              force: bool = False) -> str:
+    """Joint genotyping: merge per-sample gVCFs into a multi-sample VCF.
+
+    Scatter/gather like the reference's joint driver (GenomicsDB import +
+    per-contig GenotypeGVCFs, worker-joint.cpp): the genome is split into
+    ``gatk.joint.ncontigs`` shards, each shard streams only its region
+    from every sample's gVCF via the ``.tbi`` index (whole-file reads
+    only for unindexed inputs), and per-shard parts concat at the end."""
+    from ..io.intervals import split_equal_bp
+    from ..io.tabix import query_vcf_region
+    from ..pipeline.runner import PipelineRunner, stage
+    from ..utils.common import get_contig_fname
+    from .common import load_fasta
+
+    output = check_output(output, force)
+    if Path(input_path).is_dir():
+        paths = get_input_list(input_path, r".*\.(g\.vcf|gvcf)(\.gz)?")
+    else:
+        paths = [check_input(input_path)]
+
+    fa = load_fasta(ref)
+    shards = split_equal_bp(fa.dict, conf.get("gatk.joint.ncontigs"))
+
+    sample_names: list[str] = []
+    contigs = None
+    indexed: list[bool] = []
+    full_cache: dict[str, list[VcfRecord]] = {}
+    for p in paths:
+        has_tbi = Path(str(p) + ".tbi").exists()
+        indexed.append(has_tbi)
+        if has_tbi:
+            import gzip
+            with gzip.open(p, "rt") as f:   # streams: header lines only
+                lines = []
+                for line in f:
+                    if not line.startswith("#"):
+                        break
+                    lines.append(line)
+            header = VcfHeader.from_lines(lines)
+        else:
+            header, records = read_vcf(p)
+            full_cache[str(p)] = records
+        sample_names.append(header.samples[0] if header.samples
+                            else Path(p).stem)
+        contigs = contigs or header.contigs
+
+    part_dir = Path(output).parent / (Path(output).name + ".parts")
+    part_dir.mkdir(parents=True, exist_ok=True)
+
+    def one(shard, idx):
+        evidence = []
+        for p, has_tbi in zip(paths, indexed):
+            recs: list[VcfRecord] = []
+            for iv in shard:
+                if has_tbi:
+                    recs.extend(query_vcf_region(
+                        p, iv.contig, iv.start, iv.end))
+                else:
+                    recs.extend(
+                        r for r in full_cache[str(p)]
+                        if r.contig == iv.contig and r.pos <= iv.end
+                        and int(r.info.get(
+                            "END", r.pos + len(r.ref) - 1)) >= iv.start)
+            evidence.append(_sample_evidence(recs))
+        # a variant belongs to the shard that contains its POS (avoids
+        # double emission when an overlapping record enters two shards)
+        for variants, _ in evidence:
+            for key in [k for k in variants
+                        if not any(iv.contig == k[0]
+                                   and iv.start <= k[1] <= iv.end
+                                   for iv in shard)]:
+                del variants[key]
+        recs = _merge_shard_sites(evidence, sample_names)
+        path = get_contig_fname(part_dir, idx, "vcf")
+        hdr = VcfHeader(contigs=contigs or [], samples=sample_names,
+                        meta=list(STANDARD_META))
+        write_vcf(path, hdr, recs)
+        return path
+
+    runner = PipelineRunner("Joint Genotyping", force=True)
+    tasks = [(lambda s=s, i=i: one(s, i)) for i, s in enumerate(shards)]
+    (parts,) = runner.run([stage(
+        "GenotypeGVCFs", tasks,
+        nprocs=conf.get("gatk.joint.nprocs", "gatk.nprocs"))]).values()
+
+    out_header = VcfHeader(contigs=contigs or [], samples=sample_names,
+                           meta=list(STANDARD_META))
+    concat_vcfs(list(parts), output, sort=False)
+    n = sum(1 for _ in parts)
+    log.info("joint: %d samples, %d shards → %s",
+             len(sample_names), n, output)
     return output
