@@ -159,6 +159,9 @@ def build_option_table() -> dict[str, Option]:
         O("tpu.mesh.data", int, -1, "data-parallel mesh axis size (-1 = all devices)"),
         O("tpu.mesh.region", int, 1, "region-parallel mesh axis size"),
         O("tpu.batch.reads", int, 4096, "reads per device batch"),
+        O("tpu.bam.stream_mb", int, 256,
+          "BAMs larger than this stream per-shard via .bai instead of "
+          "loading whole"),
         O("tpu.bucket.read_len", int, 160, "read length bucket (pad-to)"),
         O("tpu.bucket.hap_len", int, 512, "haplotype length bucket (pad-to)"),
         O("tpu.pairhmm.dtype", str, "float32", "PairHMM accumulation dtype"),

@@ -320,14 +320,53 @@ def _records_from_scan(blob: bytes, scan) -> list[SamRecord]:
     return recs
 
 
-def read_bam(path: str | Path) -> tuple[SamHeader, list[SamRecord]]:
+def _records_from_blob(blob: bytes) -> list[SamRecord]:
+    """Decode a concatenated record stream (native scan or python)."""
     from . import native_ext
+    if native_ext.available():
+        return _records_from_scan(blob, native_ext.bam_scan(blob))
+    recs: list[SamRecord] = []
+    off = 0
+    while off + 4 <= len(blob):
+        (size,) = struct.unpack_from("<i", blob, off)
+        if off + 4 + size > len(blob):
+            raise InvalidParam("truncated BAM record")
+        recs.append(_decode_record(blob[off + 4:off + 4 + size]))
+        off += 4 + size
+    return recs
+
+
+def read_bam(path: str | Path) -> tuple[SamHeader, list[SamRecord]]:
     with BamReader(path) as r:
-        if native_ext.available():
-            blob = r._r.read(-1)
-            return r.header, _records_from_scan(blob,
-                                                native_ext.bam_scan(blob))
-        return r.header, list(r)
+        return r.header, _records_from_blob(r._r.read(-1))
+
+
+def read_bam_region(path: str | Path,
+                    regions: list[tuple[str, int, int]]
+                    ) -> tuple[SamHeader, list[SamRecord]]:
+    """Records overlapping any (contig, start0, end0-exclusive) region,
+    read via the ``.bai`` index — only the spanned BGZF blocks are
+    decompressed (the reference gets this from ``-L`` + GATK's htsjdk;
+    here it powers shard-local reads at WGS scale).  Returns records in
+    coordinate order."""
+    from .tabix import BaiIndex, read_bgzf_at
+    with BamReader(path) as r:
+        header = r.header
+    bai = BaiIndex.read(str(path) + ".bai")
+    out: list[SamRecord] = []
+    seen: set[tuple] = set()
+    for contig, beg, end in regions:
+        tid = header.tid(contig)
+        for u, v in bai.query_chunks(tid, beg, end):
+            for rec in _records_from_blob(read_bgzf_at(path, u, v)):
+                if (rec.tid == tid and rec.pos < end
+                        and rec.end_pos > beg):
+                    key = (rec.qname, rec.flag, rec.pos)
+                    if key not in seen:
+                        seen.add(key)
+                        out.append(rec)
+    out.sort(key=lambda r: (r.tid, r.pos))
+    return header, out
 
 
 def read_bam_coords(path: str | Path) -> np.ndarray:

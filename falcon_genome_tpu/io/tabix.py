@@ -138,24 +138,53 @@ class TabixIndex:
         if ref_name not in self.ref_names:
             return []
         rid = self.ref_names.index(ref_name)
-        min_off = 0
-        lin = self.linear[rid]
-        win = beg >> LINEAR_SHIFT
-        if win < len(lin):
-            min_off = lin[win]
-        chunks = []
-        for b in reg2bins(beg, end):
-            for u, v in self.bins[rid].get(b, []):
-                if v > min_off:
-                    chunks.append((max(u, min_off), v))
-        chunks.sort()
-        merged: list[tuple[int, int]] = []
-        for u, v in chunks:
-            if merged and u <= merged[-1][1]:
-                merged[-1] = (merged[-1][0], max(v, merged[-1][1]))
-            else:
-                merged.append((u, v))
-        return merged
+        return _chunks_for(self.bins[rid], self.linear[rid], beg, end)
+
+
+def _chunks_for(bins: dict[int, list[tuple[int, int]]], lin: list[int],
+                beg: int, end: int) -> list[tuple[int, int]]:
+    min_off = 0
+    win = beg >> LINEAR_SHIFT
+    if win < len(lin):
+        min_off = lin[win]
+    chunks = []
+    for b in reg2bins(beg, end):
+        for u, v in bins.get(b, []):
+            if v > min_off:
+                chunks.append((max(u, min_off), v))
+    chunks.sort()
+    merged: list[tuple[int, int]] = []
+    for u, v in chunks:
+        if merged and u <= merged[-1][1]:
+            merged[-1] = (merged[-1][0], max(v, merged[-1][1]))
+        else:
+            merged.append((u, v))
+    return merged
+
+
+class BaiIndex:
+    """BAM .bai reader + region query (tids instead of names)."""
+
+    def __init__(self, n_ref: int, bins, linear):
+        self.n_ref = n_ref
+        self.bins = bins
+        self.linear = linear
+
+    @classmethod
+    def read(cls, path: str | Path) -> "BaiIndex":
+        with open(path, "rb") as f:      # .bai is NOT bgzf-compressed
+            data = f.read()
+        if data[:4] != BAI_MAGIC:
+            raise InvalidParam(f"{path} is not a .bai index")
+        (n_ref,) = struct.unpack_from("<i", data, 4)
+        bins, linear, _ = _read_body(data, 8, n_ref)
+        return cls(n_ref, bins, linear)
+
+    def query_chunks(self, tid: int, beg: int, end: int
+                     ) -> list[tuple[int, int]]:
+        if not (0 <= tid < self.n_ref):
+            return []
+        return _chunks_for(self.bins[tid], self.linear[tid], beg, end)
 
 
 def _read_body(data: bytes, off: int, n_ref: int):

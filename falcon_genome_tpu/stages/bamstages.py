@@ -11,10 +11,54 @@ from pathlib import Path
 
 from ..bamops import mark_duplicates, merge_sorted, sort_records
 from ..config import Config
-from ..io.bam import read_bam, write_bam
+from ..io.bam import BamReader, read_bam, read_bam_region, write_bam
 from ..utils.common import check_input, check_output, get_input_list
 
 log = logging.getLogger("falcon_genome_tpu")
+
+
+class BamInputSource:
+    """Shard-aware BAM input for scatter stages.
+
+    Small inputs load whole (one decode shared by every shard task);
+    inputs above the ``tpu.bam.stream_mb`` threshold with a ``.bai``
+    stream each shard's region straight from the indexed BGZF blocks —
+    bounded memory at WGS scale, no whole-file materialization."""
+
+    def __init__(self, path: str, stream_threshold_bytes: int = 256 << 20):
+        from .common import records_in_shard
+        self._in_shard = records_in_shard
+        p = Path(path)
+        self.path = p
+        self.stream = (p.is_file()
+                       and Path(str(p) + ".bai").exists()
+                       and p.stat().st_size > stream_threshold_bytes)
+        if self.stream:
+            with BamReader(p) as r:
+                self.header = r.header
+            self._records = None
+        else:
+            self.header, self._records = load_bam_input(path)
+
+    @classmethod
+    def from_conf(cls, conf: Config, path: str) -> "BamInputSource":
+        return cls(path, conf.get("tpu.bam.stream_mb") << 20)
+
+    def records_for(self, shard) -> list:
+        """Records overlapping a shard (list of Intervals), mapped only."""
+        if self.stream:
+            _, recs = read_bam_region(
+                self.path,
+                [(iv.contig, iv.start - 1, iv.end) for iv in shard])
+            return recs
+        return self._in_shard(self._records, shard, self.header)
+
+    @property
+    def records(self) -> list:
+        """All records (whole-file mode only callers)."""
+        if self._records is None:
+            self.header, self._records = read_bam(self.path)
+        return self._records
 
 
 def load_bam_input(path: str):

@@ -18,8 +18,8 @@ from ..models.mutect2 import Mutect2, Mutect2Params, filter_mutect_calls
 from ..models.ug import UGParams, call_pileup
 from ..pipeline.runner import PipelineRunner, stage
 from ..utils.common import check_output, get_contig_fname
-from .bamstages import load_bam_input
-from .common import interval_shards, load_fasta, records_in_shard
+from .bamstages import BamInputSource
+from .common import interval_shards, load_fasta
 
 log = logging.getLogger("falcon_genome_tpu")
 
@@ -54,7 +54,7 @@ def run_htc(conf: Config, ref: str, input_path: str, output: str,
         (".g.vcf", ".g.vcf.gz", ".gvcf", ".gvcf.gz"))
     output = check_output(output, force)
     fa = load_fasta(ref)
-    header, records = load_bam_input(input_path)
+    src = BamInputSource.from_conf(conf, input_path)
     shards = _shard_plan(conf, fa, intervals)
     params = HTCParams(emit_gvcf=emit_gvcf, sample=sample)
     hc = HaplotypeCaller(params)
@@ -67,7 +67,7 @@ def run_htc(conf: Config, ref: str, input_path: str, output: str,
         recs = []
         for iv in shard:
             contig_codes = fa.contig_codes(iv.contig)
-            sub = records_in_shard(records, [iv], header)
+            sub = src.records_for([iv])
             recs.extend(hc.call_interval(
                 sub, contig_codes, iv.contig, iv.start - 1, iv.end))
         path = get_contig_fname(part_dir, idx, ext)
@@ -90,10 +90,9 @@ def run_mutect2(conf: Config, ref: str, tumor_path: str, output: str,
                 run_filter: bool = True, force: bool = False) -> str:
     output = check_output(output, force)
     fa = load_fasta(ref)
-    t_header, t_records = load_bam_input(tumor_path)
-    n_records = None
-    if normal_path:
-        _, n_records = load_bam_input(normal_path)
+    t_src = BamInputSource.from_conf(conf, tumor_path)
+    n_src = (BamInputSource.from_conf(conf, normal_path)
+             if normal_path else None)
     shards = _shard_plan(conf, fa, intervals)
     m2 = Mutect2(Mutect2Params())
     samples = ["TUMOR"] + (["NORMAL"] if normal_path else [])
@@ -111,9 +110,8 @@ def run_mutect2(conf: Config, ref: str, tumor_path: str, output: str,
         recs = []
         for iv in shard:
             codes = fa.contig_codes(iv.contig)
-            t_sub = records_in_shard(t_records, [iv], t_header)
-            n_sub = (records_in_shard(n_records, [iv], t_header)
-                     if n_records is not None else None)
+            t_sub = t_src.records_for([iv])
+            n_sub = n_src.records_for([iv]) if n_src is not None else None
             recs.extend(m2.call_interval(
                 t_sub, n_sub, codes, iv.contig, iv.start - 1, iv.end))
         if run_filter:
@@ -136,7 +134,7 @@ def run_ug(conf: Config, ref: str, input_path: str, output: str,
            force: bool = False) -> str:
     output = check_output(output, force)
     fa = load_fasta(ref)
-    header, records = load_bam_input(input_path)
+    src = BamInputSource.from_conf(conf, input_path)
     shards = _shard_plan(conf, fa, intervals)
     vcf_header = _vcf_header(fa, [sample])
     part_dir = Path(output).parent / (Path(output).name + ".parts")
@@ -146,7 +144,7 @@ def run_ug(conf: Config, ref: str, input_path: str, output: str,
         recs = []
         for iv in shard:
             codes = fa.contig_codes(iv.contig)
-            sub = records_in_shard(records, [iv], header)
+            sub = src.records_for([iv])
             recs.extend(call_pileup(sub, codes, iv.contig,
                                     iv.start - 1, iv.end, UGParams()))
         path = get_contig_fname(part_dir, idx, "vcf")

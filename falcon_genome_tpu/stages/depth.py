@@ -19,9 +19,9 @@ from ..io.intervals import Interval
 from ..io.sam import SamRecord, cigar_ref_len
 from ..pipeline.runner import PipelineRunner, stage
 from ..utils.common import check_output
-from .bamstages import load_bam_input
+from .bamstages import BamInputSource
 from .calling import _shard_plan
-from .common import load_fasta, records_in_shard
+from .common import load_fasta
 
 log = logging.getLogger("falcon_genome_tpu")
 
@@ -41,7 +41,7 @@ class DepthShardResult:
             self.histogram + other.histogram)
 
 
-def _shard_depth(records: list[SamRecord], shard: list[Interval],
+def _shard_depth(src: "BamInputSource", shard: list[Interval],
                  header) -> DepthShardResult:
     total = 0
     npos = 0
@@ -49,7 +49,7 @@ def _shard_depth(records: list[SamRecord], shard: list[Interval],
     for iv in shard:
         n = len(iv)
         depth = np.zeros(n, np.int32)
-        for r in records_in_shard(records, [iv], header):
+        for r in src.records_for([iv]):
             lo = max(r.pos, iv.start - 1)
             hi = min(r.pos + cigar_ref_len(r.cigar), iv.end)
             if lo < hi:
@@ -67,11 +67,12 @@ def run_depth(conf: Config, ref: str, input_path: str, output: str,
               force: bool = False) -> str:
     output = check_output(output, force)
     fa = load_fasta(ref)
-    header, records = load_bam_input(input_path)
+    src = BamInputSource.from_conf(conf, input_path)
+    header = src.header
     shards = _shard_plan(conf, fa, intervals)
 
     runner = PipelineRunner("Depth of Coverage", force=True)
-    tasks = [(lambda s=s: _shard_depth(records, s, header))
+    tasks = [(lambda s=s: _shard_depth(src, s, header))
              for s in shards if s]
     (parts,) = runner.run([stage(
         "DepthOfCoverage", tasks,

@@ -84,3 +84,48 @@ class TestBai:
         p = tmp_path / "y.bam"
         write_bam(p, header, recs)
         assert not (tmp_path / "y.bam.bai").exists()
+
+
+class TestBaiRegionRead:
+    def test_region_read_matches_whole_filter(self, tmp_path, rng):
+        from falcon_genome_tpu.io.bam import (
+            read_bam, read_bam_region, write_bam)
+        from falcon_genome_tpu.io.sam import (
+            SamHeader, SamRecord, cigar_from_str)
+        from falcon_genome_tpu.io.dna import decode_seq
+        from falcon_genome_tpu.stages.bamstages import BamInputSource
+        from falcon_genome_tpu.io.intervals import Interval
+
+        G = 40_000
+        header = SamHeader(contigs=[("c1", G), ("c2", G)])
+        recs = []
+        for i in range(800):
+            tid = int(rng.integers(0, 2))
+            pos = int(rng.integers(0, G - 100))
+            seq = decode_seq(rng.integers(0, 4, 100).astype(np.uint8))
+            recs.append(SamRecord(f"r{i}", 0, tid, pos, 60,
+                                  cigar_from_str("100M"), seq=seq,
+                                  qual="I" * 100))
+        recs.sort(key=lambda r: (r.tid, r.pos))
+        path = str(tmp_path / "big.bam")
+        write_bam(path, header, recs)
+
+        regions = [("c1", 5000, 9000), ("c2", 30000, 34000)]
+        _, got = read_bam_region(path, regions)
+        want = [r for r in recs
+                if any(r.tid == header.tid(c) and r.pos < e
+                       and r.end_pos > b for c, b, e in regions)]
+        assert [(r.qname, r.tid, r.pos) for r in got] == \
+               [(r.qname, r.tid, r.pos) for r in want]
+
+        # BamInputSource with threshold 0 must stream and agree with the
+        # whole-file filter path
+        src = BamInputSource(path, stream_threshold_bytes=0)
+        assert src.stream
+        shard = [Interval("c1", 5001, 9000)]   # 1-based inclusive
+        got2 = src.records_for(shard)
+        src_whole = BamInputSource(path, stream_threshold_bytes=1 << 60)
+        assert not src_whole.stream
+        want2 = src_whole.records_for(shard)
+        assert [(r.qname, r.pos) for r in got2] == \
+               [(r.qname, r.pos) for r in want2]
