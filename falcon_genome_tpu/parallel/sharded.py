@@ -125,3 +125,86 @@ def make_example_batch(B: int, R: int, H: int, n_cov: int, seed: int = 0):
     return (read, q, q, q, gcp, rlen, hlen, hap,
             cov_rg, cov_q, cov_cyc, cov_ctx,
             cov_err.astype(np.float32))
+
+
+# ---------------------------------------------------------------------------
+# distributed sample-sort (P2 at scale: the reference's bucket-BAM sort/
+# merge tree — SambambaWorker SORT/MERGE over part-%06d buckets — as a
+# device-mesh collective instead of a filesystem merge)
+# ---------------------------------------------------------------------------
+
+SORT_SENTINEL = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def distributed_sort_step(mesh: Mesh, n_local: int, axis_name: str = "data",
+                          capacity_factor: float = 2.0):
+    """Compile a distributed sample-sort over one mesh axis.
+
+    Input: (nd * n_local,) uint64 keys, sharded over ``axis_name`` (each
+    device holds n_local).  Callers embed the payload in the key's low
+    bits (coordinate sort uses ``global_pos << 24 | read_idx``).
+
+    Sample-sort over ICI: local sort → all_gather regular samples →
+    global splitters → static-capacity bucket exchange via all_to_all →
+    local merge.  Returns per-device sorted runs (sentinel-padded), the
+    per-device valid count, and a per-device overflow flag (a bucket
+    exceeding ``capacity_factor×`` the average shard: retry bigger).
+    """
+    from jax.experimental.shard_map import shard_map
+
+    nd = mesh.shape[axis_name]
+    C = int(np.ceil(n_local / nd * capacity_factor))
+    OS = 8                                   # oversampling per device
+
+    def local(keys):
+        keys = jnp.sort(keys.reshape(-1))    # (n_local,)
+        idxs = jnp.linspace(0, n_local - 1, nd * OS).astype(jnp.int32)
+        samples = keys[idxs]
+        all_s = jnp.sort(jax.lax.all_gather(samples, axis_name).reshape(-1))
+        splits = all_s[jnp.arange(1, nd) * (nd * OS)]          # (nd-1,)
+        cuts = jnp.searchsorted(keys, splits).astype(jnp.int32)
+        lo = jnp.concatenate([jnp.zeros(1, jnp.int32), cuts])
+        hi = jnp.concatenate([cuts, jnp.full(1, n_local, jnp.int32)])
+        counts = hi - lo
+        overflow = (jnp.max(counts) > C).astype(jnp.int32)
+        gi = jnp.clip(lo[:, None] + jnp.arange(C)[None, :], 0, n_local - 1)
+        send = jnp.where(jnp.arange(C)[None, :] < counts[:, None],
+                         keys[gi], jnp.uint64(SORT_SENTINEL))
+        recv = jax.lax.all_to_all(send, axis_name, split_axis=0,
+                                  concat_axis=0, tiled=True)    # (nd, C)
+        merged = jnp.sort(recv.reshape(-1))                     # (nd*C,)
+        nvalid = jnp.sum(recv != jnp.uint64(SORT_SENTINEL)
+                         ).astype(jnp.int32)
+        return merged, nvalid.reshape(1), overflow.reshape(1)
+
+    spec = P(axis_name)
+    return jax.jit(shard_map(
+        local, mesh=mesh, in_specs=(spec,),
+        out_specs=(spec, spec, spec)))
+
+
+def distributed_sort(mesh: Mesh, keys: np.ndarray, axis_name: str = "data",
+                     capacity_factor: float = 2.0) -> np.ndarray:
+    """Host wrapper: globally sort uint64 keys over the mesh axis.
+
+    Pads to the device count, runs the sample-sort step (retrying with a
+    larger exchange capacity on bucket overflow), trims sentinels."""
+    nd = mesh.shape[axis_name]
+    n = len(keys)
+    n_local = int(np.ceil(n / nd))
+    padded = np.full(nd * n_local, SORT_SENTINEL, np.uint64)
+    padded[:n] = keys
+    # 64-bit keys need x64 tracing (JAX otherwise demotes uint64→uint32,
+    # silently mangling coordinates); scoped to this step only
+    with jax.enable_x64(True):
+        while True:
+            step = distributed_sort_step(mesh, n_local, axis_name,
+                                         capacity_factor)
+            merged, nvalid, overflow = step(jnp.asarray(padded))
+            if not np.asarray(overflow).any():
+                break
+            capacity_factor *= 2.0
+    merged = np.asarray(merged).reshape(nd, -1)
+    nvalid = np.asarray(nvalid)
+    out = np.concatenate([merged[d, :nvalid[d]] for d in range(nd)])
+    return out[out != SORT_SENTINEL][:n]

@@ -85,3 +85,36 @@ class TestGraftEntry:
         sys.path.insert(0, str(Path(__file__).parent.parent))
         import __graft_entry__ as ge
         ge.dryrun_multichip(8)
+
+
+class TestDistributedSort:
+    def test_global_sort_matches_numpy(self, rng):
+        import jax
+        from falcon_genome_tpu.parallel.mesh import MeshSpec, make_mesh
+        from falcon_genome_tpu.parallel.sharded import distributed_sort
+        if len(jax.devices()) < 2:
+            import pytest
+            pytest.skip("needs multi-device mesh")
+        mesh = make_mesh(MeshSpec(data=len(jax.devices()), region=1))
+        # coordinate-sort keys: pos<<24 | read idx (payload rides along)
+        n = 4096 + 37                      # non-divisible by device count
+        pos = rng.integers(0, 1 << 32, n).astype(np.uint64)
+        keys = (pos << np.uint64(24)) | np.arange(n, dtype=np.uint64)
+        got = distributed_sort(mesh, keys, axis_name="data")
+        assert np.array_equal(got, np.sort(keys))
+
+    def test_skewed_keys_overflow_retry(self, rng):
+        import jax
+        from falcon_genome_tpu.parallel.mesh import MeshSpec, make_mesh
+        from falcon_genome_tpu.parallel.sharded import distributed_sort
+        if len(jax.devices()) < 2:
+            import pytest
+            pytest.skip("needs multi-device mesh")
+        mesh = make_mesh(MeshSpec(data=len(jax.devices()), region=1))
+        # heavily skewed: 90% of keys identical → bucket overflow path
+        n = 2048
+        keys = np.full(n, 42, np.uint64)
+        keys[: n // 10] = rng.integers(0, 1 << 40, n // 10).astype(np.uint64)
+        got = distributed_sort(mesh, keys, axis_name="data",
+                               capacity_factor=1.1)
+        assert np.array_equal(got, np.sort(keys))
