@@ -17,6 +17,10 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
+# no persistent XLA cache under tests: CPU AOT entries can trip host
+# feature-mismatch loads; CPU compiles are cheap anyway (the cache exists
+# for the 20-40s remote-TPU pallas compiles)
+os.environ["FCS_JAX_CACHE_DIR"] = ""
 
 import jax  # noqa: E402  (already imported at boot by sitecustomize)
 
