@@ -154,7 +154,13 @@ class MinimizerIndex:
         s = np.concatenate(strands) if strands else np.zeros(0, bool)
         order = np.argsort(h, kind="stable")
         self.hashes = h[order]
-        self.positions = pos[order]
+        # positions fit uint32 for genomes < 4.3 Gbp (human incl.): 13 B
+        # per entry total instead of 17 — the WGS index memory budget
+        pos_sorted = pos[order]
+        self.positions = (pos_sorted.astype(np.uint32)
+                          if (len(pos_sorted) == 0
+                              or int(self.offsets[-1]) < (1 << 32))
+                          else pos_sorted)
         self.strands = s[order]
 
     @classmethod

@@ -30,16 +30,17 @@ def _align_read_group(engine: AlignerEngine, det: SampleDetails,
     reader = FastqReader(check_input(det.fastq1),
                          check_input(det.fastq2) if det.fastq2 else None,
                          batch_size=batch_size)
-    records: list[SamRecord] = []
-    for b1, b2 in reader:
+    from concurrent.futures import ThreadPoolExecutor
+
+    def align(b1, b2):
         if b2 is not None:
             # mates align as ONE device batch with pair-aware selection
             # (proper-pair bonus + mate rescue)
-            res1, res2 = engine.align_pair_batch(
+            return engine.align_pair_batch(
                 b1.codes, b1.lengths, b2.codes, b2.lengths)
-        else:
-            res1 = engine.align_batch(b1.codes, b1.lengths)
-            res2 = None
+        return engine.align_batch(b1.codes, b1.lengths), None
+
+    def emit(b1, b2, res1, res2, records):
         for i, name in enumerate(b1.names):
             seq1 = _seq_str(b1, i)
             qual1 = _qual_str(b1, i)
@@ -53,6 +54,26 @@ def _align_read_group(engine: AlignerEngine, det: SampleDetails,
                     name, seq1, qual1, res1[i],
                     params=engine.params, read_group=det.read_group)
             records.extend(recs)
+
+    # two-stage pipeline: batch N+1's device work runs in a worker thread
+    # while this thread builds batch N's SAM records (device waits release
+    # the GIL, so host record emission overlaps kernel time)
+    records: list[SamRecord] = []
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        pending = None            # (b1, b2, future)
+        for b1, b2 in reader:
+            fut = pool.submit(align, b1, b2)
+            if pending is not None:
+                p1, p2, pf = pending
+                r1, r2 = pf.result()
+                pending = (b1, b2, fut)
+                emit(p1, p2, r1, r2, records)
+            else:
+                pending = (b1, b2, fut)
+        if pending is not None:
+            p1, p2, pf = pending
+            r1, r2 = pf.result()
+            emit(p1, p2, r1, r2, records)
     return records
 
 
