@@ -57,6 +57,13 @@ def load() -> ctypes.CDLL | None:
             ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+        lib.fg_assemble_region.restype = ctypes.c_int64
+        lib.fg_assemble_region.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p]
         lib.fg_bam_scan_sizes.restype = None
         lib.fg_bam_scan_sizes.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
@@ -159,6 +166,39 @@ def ops_rle_batch(packed: np.ndarray, max_steps: int, read_start: np.ndarray,
         max_ops, out_ops.ctypes.data, out_lens.ctypes.data,
         out_nc.ctypes.data)
     return out_ops, out_lens, out_nc
+
+
+def assemble_region(ref: np.ndarray, reads: list[np.ndarray],
+                    kmer_sizes: tuple[int, ...], min_mult: int,
+                    max_haps: int):
+    """Native de Bruijn assembly. Returns (haplotypes, k, fallback) or
+    None when the lib is unavailable."""
+    lib = load()
+    if lib is None:
+        return None
+    ref = np.ascontiguousarray(ref, np.uint8)
+    offs = np.zeros(len(reads) + 1, np.int64)
+    for i, r in enumerate(reads):
+        offs[i + 1] = offs[i] + len(r)
+    blob = (np.concatenate([np.ascontiguousarray(r, np.uint8)
+                            for r in reads])
+            if reads else np.zeros(0, np.uint8))
+    ks = np.asarray(kmer_sizes, np.int32)
+    cap = max_haps * (len(ref) + 64) + 64
+    out = np.empty(cap, np.uint8)
+    out_offs = np.zeros(max_haps + 1, np.int64)
+    out_k = np.zeros(1, np.int32)
+    out_fb = np.zeros(1, np.int32)
+    n = lib.fg_assemble_region(
+        ref.ctypes.data, len(ref),
+        blob.ctypes.data if len(blob) else None, offs.ctypes.data,
+        len(reads), ks.ctypes.data, len(ks), min_mult, max_haps,
+        out.ctypes.data, cap, out_offs.ctypes.data, out_k.ctypes.data,
+        out_fb.ctypes.data)
+    if n < 0:
+        return None
+    haps = [out[out_offs[i]:out_offs[i + 1]].copy() for i in range(n)]
+    return haps, int(out_k[0]), bool(out_fb[0])
 
 
 def bam_scan(blob: bytes):

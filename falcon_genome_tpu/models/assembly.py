@@ -110,8 +110,23 @@ def assemble_region(ref: np.ndarray, reads: list[np.ndarray],
     The returned haplotype list always starts with the reference haplotype;
     assembled haplotypes differing from it follow, deduplicated, capped at
     ``params.max_haplotypes``.
+
+    Uses the native fgio implementation when built (identical output —
+    asserted by tests); the python path below is the reference.
     """
     ref = np.asarray(ref, dtype=np.uint8)
+    from ..io import native_ext
+    nat = native_ext.assemble_region(
+        ref, [np.asarray(r, np.uint8) for r in reads],
+        params.kmer_sizes, params.min_edge_mult, params.max_haplotypes)
+    if nat is not None:
+        haps, k, fallback = nat
+        return AssemblyResult(haps, k, fallback)
+    return _assemble_region_py(ref, reads, params)
+
+
+def _assemble_region_py(ref: np.ndarray, reads: list[np.ndarray],
+                        params: AssemblyParams) -> AssemblyResult:
     for k in params.kmer_sizes:
         graph, _ref_edges = _build_graph(ref, reads, k, params.min_edge_mult)
         if graph is None:

@@ -412,4 +412,166 @@ void fg_bam_scan(const uint8_t* buf, int64_t n,
   }
 }
 
+// ---------------------------------------------------------------------------
+// local de Bruijn assembly (must match models.assembly.assemble_region
+// path-for-path: same DFS order, step/path caps, dedup and selection)
+// ---------------------------------------------------------------------------
+
+}  // extern "C"
+
+#include <algorithm>
+#include <string>
+#include <unordered_map>
+#include <unordered_set>
+
+namespace {
+
+struct EdgeSet {
+  // next-base counts + ref-edge bits for one (k-1)-mer node
+  int32_t count[4] = {0, 0, 0, 0};
+  uint8_t is_ref[4] = {0, 0, 0, 0};
+};
+
+const int64_t ASM_MAX_PATHS = 128;    // assembly.MAX_PATHS
+const int64_t ASM_MAX_STEPS = 200000;
+
+bool enumerate_paths(
+    const std::unordered_map<std::string, EdgeSet>& graph,
+    const std::string& source, const std::string& sink, int k,
+    int64_t max_len, std::vector<std::string>* results) {
+  results->clear();
+  // python: stack of (node, seq); pop() LIFO; neighbors pushed ascending
+  std::vector<std::string> stack;  // store seq; node = last k-1 bytes
+  stack.push_back(source);
+  int64_t steps = 0;
+  while (!stack.empty()) {
+    steps++;
+    if (steps > ASM_MAX_STEPS || (int64_t)results->size() > ASM_MAX_PATHS)
+      return false;
+    std::string seq = std::move(stack.back());
+    stack.pop_back();
+    if ((int64_t)seq.size() > max_len) continue;
+    std::string node = seq.substr(seq.size() - (size_t)(k - 1));
+    if (node == sink && seq.size() > source.size()) {
+      results->push_back(seq);
+      continue;
+    }
+    auto it = graph.find(node);
+    if (it == graph.end()) continue;
+    for (int nb = 0; nb < 4; nb++) {
+      if (it->second.count[nb] > 0) {
+        stack.push_back(seq + (char)nb);
+      }
+    }
+  }
+  return true;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Returns the number of haplotypes written (>=1; [0] is the ref), with
+// *out_k the k-mer size used and *out_fallback set when assembly failed.
+// out_offs has capacity max_haps+1 (prefix offsets into out_haps).
+int64_t fg_assemble_region(
+    const uint8_t* ref, int64_t ref_len, const uint8_t* reads,
+    const int64_t* read_offs, int64_t n_reads, const int32_t* kmer_sizes,
+    int32_t n_k, int32_t min_mult, int32_t max_haps, uint8_t* out_haps,
+    int64_t out_cap, int64_t* out_offs, int32_t* out_k,
+    int32_t* out_fallback) {
+  auto emit_ref_only = [&](int k) -> int64_t {
+    *out_k = k;
+    *out_fallback = 1;
+    out_offs[0] = 0;
+    out_offs[1] = ref_len <= out_cap ? ref_len : 0;
+    if (ref_len <= out_cap) std::memcpy(out_haps, ref, ref_len);
+    return 1;
+  };
+
+  for (int ki = 0; ki < n_k; ki++) {
+    int k = kmer_sizes[ki];
+    if (ref_len <= k) break;
+
+    std::unordered_map<std::string, EdgeSet> graph;
+    graph.reserve(1024);
+    auto add_seq = [&](const uint8_t* s, int64_t n, bool is_ref) {
+      if (n < k) return;
+      // skip k-windows containing N (code > 3), like the python `4 in`
+      for (int64_t i = 0; i + k <= n; i++) {
+        bool ok = true;
+        for (int64_t j = i; j < i + k; j++)
+          if (s[j] > 3) { ok = false; break; }
+        if (!ok) continue;
+        std::string node((const char*)s + i, (size_t)(k - 1));
+        int nb = s[i + k - 1];
+        EdgeSet& e = graph[node];
+        e.count[nb]++;
+        if (is_ref) e.is_ref[nb] = 1;
+      }
+    };
+    add_seq(ref, ref_len, true);
+    for (int64_t r = 0; r < n_reads; r++)
+      add_seq(reads + read_offs[r], read_offs[r + 1] - read_offs[r], false);
+
+    // prune low-multiplicity non-ref edges
+    for (auto& kv : graph) {
+      for (int nb = 0; nb < 4; nb++) {
+        if (kv.second.count[nb] > 0 && kv.second.count[nb] < min_mult &&
+            !kv.second.is_ref[nb])
+          kv.second.count[nb] = 0;
+      }
+    }
+
+    std::string source((const char*)ref, (size_t)(k - 1));
+    std::string sink((const char*)ref + ref_len - (k - 1), (size_t)(k - 1));
+    bool bad = false;
+    for (char c : source) if ((uint8_t)c > 3) bad = true;
+    for (char c : sink) if ((uint8_t)c > 3) bad = true;
+    if (bad) break;
+
+    std::vector<std::string> paths;
+    if (!enumerate_paths(graph, source, sink, k, ref_len + 64, &paths))
+      continue;  // cyclic / blowup -> larger k
+
+    std::string refs((const char*)ref, (size_t)ref_len);
+    // python: sorted(paths, key=(len(s) != len(ref), s))
+    std::stable_sort(paths.begin(), paths.end(),
+                     [&](const std::string& a, const std::string& b) {
+                       bool da = a.size() != refs.size();
+                       bool db = b.size() != refs.size();
+                       if (da != db) return db;
+                       return a < b;
+                     });
+    std::unordered_set<std::string> seen;
+    seen.insert(refs);
+    std::vector<const std::string*> haps;
+    for (const auto& p : paths) {
+      if ((int64_t)haps.size() + 1 >= max_haps) break;
+      if (seen.count(p)) continue;
+      seen.insert(p);
+      haps.push_back(&p);
+    }
+    // write ref + selected haplotypes
+    int64_t off = 0;
+    out_offs[0] = 0;
+    if (ref_len > out_cap) return -1;
+    std::memcpy(out_haps, ref, ref_len);
+    off = ref_len;
+    out_offs[1] = off;
+    int64_t nh = 1;
+    for (const std::string* h : haps) {
+      if (off + (int64_t)h->size() > out_cap) return -1;
+      std::memcpy(out_haps + off, h->data(), h->size());
+      off += h->size();
+      out_offs[nh + 1] = off;
+      nh++;
+    }
+    *out_k = k;
+    *out_fallback = 0;
+    return nh;
+  }
+  return emit_ref_only(kmer_sizes[n_k - 1]);
+}
+
 }  // extern "C"

@@ -169,3 +169,47 @@ class TestBamScan:
         for g, w in zip(got, want):
             assert g == w, (g, w)
             assert dict(g.tags) == dict(w.tags)
+
+
+class TestAssembly:
+    def test_matches_python(self, rng):
+        """Native assembly must match the python reference haplotype-for-
+        haplotype across SNV/indel/noisy regions."""
+        import falcon_genome_tpu.io.native_ext as ne
+        if not ne.available():
+            import pytest
+            pytest.skip("native fgio not built")
+        from falcon_genome_tpu.models.assembly import (
+            AssemblyParams, _assemble_region_py)
+
+        params = AssemblyParams(min_edge_mult=1)
+        for trial in range(12):
+            ref = rng.integers(0, 4, 180).astype(np.uint8)
+            alt = ref.copy()
+            kind = trial % 4
+            if kind == 0:
+                alt[90] = (alt[90] + 1) % 4                     # SNV
+            elif kind == 1:
+                alt = np.concatenate([alt[:90], alt[93:]])       # del
+            elif kind == 2:
+                alt = np.concatenate(
+                    [alt[:90], rng.integers(0, 4, 4).astype(np.uint8),
+                     alt[90:]])                                  # ins
+            reads = []
+            for i in range(40):
+                hap = ref if i % 2 else alt
+                p = rng.integers(0, max(1, len(hap) - 60))
+                r = hap[p:p + 60].copy()
+                if trial >= 8:                                   # noise
+                    q = rng.integers(0, len(r))
+                    r[q] = (r[q] + 1) % 4
+                reads.append(r)
+            want = _assemble_region_py(ref, reads, params)
+            got_haps, got_k, got_fb = ne.assemble_region(
+                ref, reads, params.kmer_sizes, params.min_edge_mult,
+                params.max_haplotypes)
+            assert got_k == want.kmer_size
+            assert got_fb == want.fallback
+            assert len(got_haps) == len(want.haplotypes), trial
+            for a, b in zip(got_haps, want.haplotypes):
+                assert np.array_equal(a, b), trial
