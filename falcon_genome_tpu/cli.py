@@ -238,23 +238,68 @@ _GATK_TOOL_MAP = {
 
 def _dispatch_gatk(conf, gatk_args: list[str]) -> None:
     """``gatk`` passthrough (ref worker-gatk.cpp): the reference escapes
-    args into a stock GATK jar; there is no external GATK here, so map
-    recognizable walker invocations onto in-repo stages."""
+    args into a stock GATK jar; there is no external GATK here, so
+    recognizable walker invocations (GATK3 ``-T Tool`` or GATK4
+    ``Tool ...``) are translated onto the equivalent in-repo subcommand
+    and dispatched."""
     tool = None
-    for i, a in enumerate(gatk_args):
-        if a in ("-T", "--analysis_type") and i + 1 < len(gatk_args):
-            tool = gatk_args[i + 1]
+    args = list(gatk_args)
+    for i, a in enumerate(args):
+        if a in ("-T", "--analysis_type") and i + 1 < len(args):
+            tool = args[i + 1]
+            del args[i:i + 2]
             break
         if a in _GATK_TOOL_MAP:
             tool = a
+            del args[i]
             break
     if tool is None or tool not in _GATK_TOOL_MAP:
         raise InvalidParam(
             "gatk passthrough: unrecognized walker; supported: "
             + ", ".join(sorted(_GATK_TOOL_MAP)))
-    raise InvalidParam(
-        f"gatk passthrough: use the native subcommand "
-        f"'{_GATK_TOOL_MAP[tool]}' instead of GATK walker {tool}")
+    sub = _GATK_TOOL_MAP[tool]
+
+    flag_map = {
+        "-R": "-r", "--reference": "-r", "--reference_sequence": "-r",
+        "-I": "-i", "--input": "-i", "--input_file": "-i",
+        "-O": "-o", "--output": "-o",
+        "-L": "-L", "--intervals": "-L",
+        "-bqsr": "-b", "--bqsr-recal-file": "-b", "-BQSR": "-b",
+        "-f": "-f", "--force": "-f",
+    }
+    translated: list[str] = [sub]
+    produce_vcf = True
+    i = 0
+    while i < len(args):
+        a = args[i]
+        if a in ("-o",):                    # GATK3 lowercase output
+            translated += ["-o", args[i + 1]]
+            i += 2
+        elif a in ("-ERC", "--emit-ref-confidence", "--emitRefConfidence"):
+            if i + 1 < len(args) and args[i + 1].upper() == "GVCF":
+                produce_vcf = False
+            i += 2
+        elif a in ("-tumor", "--tumor-sample"):
+            i += 2                           # sample naming is implicit
+        elif a in ("-normal", "--normal-sample"):
+            i += 2
+        elif a in flag_map:
+            tgt = flag_map[a]
+            if tgt == "-f":
+                translated.append("-f")
+                i += 1
+            else:
+                translated += [tgt, args[i + 1]]
+                i += 2
+        else:
+            log.warning("gatk passthrough: ignoring argument %r", a)
+            i += 1
+    if sub == "htc" and produce_vcf:
+        translated.append("--produce-vcf")
+    log.info("gatk passthrough: %s %s → falcon-genome-tpu %s",
+             tool, " ".join(gatk_args), " ".join(translated))
+    ap = build_parser()
+    dispatch(ap.parse_args(translated), conf)
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -273,6 +318,11 @@ def main(argv: list[str] | None = None) -> int:
         if argv[0] not in COMMANDS:
             print_help()
             raise InvalidParam(f"unknown command {argv[0]!r}")
+        if argv[0] == "gatk":
+            # verbatim passthrough (argparse REMAINDER chokes on leading
+            # GATK3 '-T'; the reference escapes args untouched too)
+            _dispatch_gatk(conf, argv[1:])
+            return 0
         ap = build_parser()
         args = ap.parse_args(argv)
         dispatch(args, conf)

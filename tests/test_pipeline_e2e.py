@@ -226,3 +226,25 @@ class TestCLI:
         rc = cli.main(["markdup", "-i", world["ref"], "-o", str(out)])
         assert rc == 0 or rc == 3  # SilentExit(0) or FileNotFound paths
         assert out.read_text() == "occupied"  # never clobbered
+
+
+class TestGatkPassthrough:
+    def test_gatk4_style_dispatches(self, world, aligned_bam, tmp_path):
+        out = tmp_path / "gp.vcf.gz"
+        rc = cli.main(["gatk", "HaplotypeCaller", "-R", world["ref"],
+                       "-I", aligned_bam, "-O", str(out), "-f"])
+        assert rc == 0
+        _, recs = read_vcf(str(out))
+        got = {(r.contig, r.pos) for r in recs if not r.is_gvcf_block}
+        assert ("chr1", 1001) in got
+
+    def test_gatk3_style_dispatches(self, world, aligned_bam, tmp_path):
+        out = tmp_path / "gp3.vcf"
+        rc = cli.main(["gatk", "-T", "UnifiedGenotyper", "-R",
+                       world["ref"], "-I", aligned_bam, "-o", str(out),
+                       "-f"])
+        assert rc == 0
+        assert out.exists()
+
+    def test_unknown_walker_rejected(self):
+        assert cli.main(["gatk", "-T", "NopeWalker"]) == 1
