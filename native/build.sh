@@ -3,5 +3,5 @@
 set -e
 cd "$(dirname "$0")"
 mkdir -p build
-g++ -O3 -march=native -std=c++17 -shared -fPIC fgio.cpp -o build/libfgio.so -lz
+g++ -O3 -march=native -std=c++17 -shared -fPIC -pthread fgio.cpp -o build/libfgio.so -lz
 echo "built native/build/libfgio.so"

@@ -16,6 +16,8 @@
 
 #include <cstdint>
 #include <cstring>
+#include <algorithm>
+#include <thread>
 #include <vector>
 #include <zlib.h>
 
@@ -95,21 +97,17 @@ static inline uint64_t mix64(uint64_t h) {
   return h;
 }
 
-// codes: 0..3 bases, 4=N. Writes up to (n-k+1) minimizer entries.
-// Returns the count.
-int64_t fg_minimizers(const uint8_t* codes, int64_t n, int k, int w,
-                      uint64_t* out_hash, int64_t* out_pos,
-                      uint8_t* out_strand) {
-  int64_t nk = n - k + 1;
-  if (nk <= 0) return 0;
+// Fill h/strand for k-mer start positions [p0, p1); the rolling k-mer
+// state warms up from position max(0, p0 - ...): we simply start scanning
+// codes at p0 (k-mer at pos needs codes[pos..pos+k)).
+static void minimizer_hashes_range(const uint8_t* codes, int64_t n, int k,
+                                   int64_t p0, int64_t p1, uint64_t* h,
+                                   uint8_t* strand) {
   const uint64_t BAD = 0xFFFFFFFFFFFFFFFFULL;
-  std::vector<uint64_t> h(nk);
-  std::vector<uint8_t> strand(nk);
-
   uint64_t fwd = 0, rc = 0;
   uint64_t mask = (k < 32) ? ((1ULL << (2 * k)) - 1) : ~0ULL;
   int valid_run = 0;
-  for (int64_t i = 0; i < n; i++) {
+  for (int64_t i = p0; i < p1 + k - 1 && i < n; i++) {
     uint8_t c = codes[i];
     if (c > 3) {
       valid_run = 0;
@@ -121,7 +119,7 @@ int64_t fg_minimizers(const uint8_t* codes, int64_t n, int k, int w,
       rc = (rc >> 2) | ((uint64_t)(3 - c) << (2 * (k - 1)));
     }
     int64_t pos = i - k + 1;
-    if (pos >= 0) {
+    if (pos >= p0 && pos < p1) {
       if (valid_run >= k) {
         uint64_t fh = mix64(fwd);
         uint64_t rh = mix64(rc & mask);
@@ -138,25 +136,26 @@ int64_t fg_minimizers(const uint8_t* codes, int64_t n, int k, int w,
       }
     }
   }
+}
 
-  int64_t count = 0;
-  if (nk <= w) {
-    // single window: global argmin
-    int64_t best = 0;
-    for (int64_t i = 1; i < nk; i++)
-      if (h[i] < h[best]) best = i;
-    if (h[best] != BAD) {
-      out_hash[0] = h[best];
-      out_pos[0] = best;
-      out_strand[0] = strand[best];
-      count = 1;
-    }
-    return count;
-  }
-  // sliding-window argmin (first minimum on ties, matching np argmin),
-  // dedup consecutive identical positions
+// Window argmins for window starts [s0, s1) given full h[]; emits with
+// consecutive-position dedup seeded from window s0-1's argmin (exactly the
+// serial scan's state at s0). Returns emitted count.
+static int64_t minimizer_windows_range(const uint64_t* h,
+                                       const uint8_t* strand, int w,
+                                       int64_t s0, int64_t s1,
+                                       uint64_t* out_hash, int64_t* out_pos,
+                                       uint8_t* out_strand) {
+  const uint64_t BAD = 0xFFFFFFFFFFFFFFFFULL;
   int64_t last_emitted = -1;
-  for (int64_t s = 0; s + w <= nk; s++) {
+  if (s0 > 0) {
+    int64_t best = s0 - 1;
+    for (int64_t j = s0; j < s0 - 1 + w; j++)
+      if (h[j] < h[best]) best = j;
+    if (h[best] != BAD) last_emitted = best;
+  }
+  int64_t count = 0;
+  for (int64_t s = s0; s < s1; s++) {
     int64_t best = s;
     for (int64_t j = s + 1; j < s + w; j++)
       if (h[j] < h[best]) best = j;
@@ -166,9 +165,91 @@ int64_t fg_minimizers(const uint8_t* codes, int64_t n, int k, int w,
       out_strand[count] = strand[best];
       last_emitted = best;
       count++;
-    } else if (best == last_emitted) {
-      // already emitted
     }
+  }
+  return count;
+}
+
+// codes: 0..3 bases, 4=N. Writes up to (n-k+1) minimizer entries.
+// Returns the count.  Large inputs fan the hash pass and the window pass
+// over threads (output is bit-identical to the serial scan: each window
+// chunk seeds its dedup state from the previous window's argmin).
+int64_t fg_minimizers(const uint8_t* codes, int64_t n, int k, int w,
+                      uint64_t* out_hash, int64_t* out_pos,
+                      uint8_t* out_strand) {
+  int64_t nk = n - k + 1;
+  if (nk <= 0) return 0;
+  const uint64_t BAD = 0xFFFFFFFFFFFFFFFFULL;
+  std::vector<uint64_t> h(nk);
+  std::vector<uint8_t> strand(nk);
+
+  const int64_t MT_MIN = 4 << 20;
+  int nthreads = 1;
+  if (nk >= MT_MIN) {
+    unsigned hc = std::thread::hardware_concurrency();
+    nthreads = hc > 8 ? 8 : (hc ? (int)hc : 1);
+  }
+
+  if (nthreads <= 1) {
+    minimizer_hashes_range(codes, n, k, 0, nk, h.data(), strand.data());
+  } else {
+    std::vector<std::thread> ts;
+    int64_t per = (nk + nthreads - 1) / nthreads;
+    for (int t = 0; t < nthreads; t++) {
+      int64_t p0 = t * per, p1 = std::min(nk, p0 + per);
+      if (p0 >= p1) break;
+      ts.emplace_back(minimizer_hashes_range, codes, n, k, p0, p1,
+                      h.data(), strand.data());
+    }
+    for (auto& t : ts) t.join();
+  }
+
+  if (nk <= w) {
+    // single window: global argmin
+    int64_t best = 0;
+    for (int64_t i = 1; i < nk; i++)
+      if (h[i] < h[best]) best = i;
+    if (h[best] != BAD) {
+      out_hash[0] = h[best];
+      out_pos[0] = best;
+      out_strand[0] = strand[best];
+      return 1;
+    }
+    return 0;
+  }
+
+  int64_t n_win = nk - w + 1;
+  if (nthreads <= 1) {
+    return minimizer_windows_range(h.data(), strand.data(), w, 0, n_win,
+                                   out_hash, out_pos, out_strand);
+  }
+  // parallel window pass into per-chunk scratch, then compact
+  int64_t per = (n_win + nthreads - 1) / nthreads;
+  std::vector<std::vector<uint64_t>> ch(nthreads);
+  std::vector<std::vector<int64_t>> cp(nthreads);
+  std::vector<std::vector<uint8_t>> cs(nthreads);
+  std::vector<int64_t> cnt(nthreads, 0);
+  std::vector<std::thread> ts;
+  for (int t = 0; t < nthreads; t++) {
+    int64_t s0 = t * per, s1 = std::min(n_win, s0 + per);
+    if (s0 >= s1) break;
+    ch[t].resize(s1 - s0);
+    cp[t].resize(s1 - s0);
+    cs[t].resize(s1 - s0);
+    ts.emplace_back([&, t, s0, s1]() {
+      cnt[t] = minimizer_windows_range(h.data(), strand.data(), w, s0, s1,
+                                       ch[t].data(), cp[t].data(),
+                                       cs[t].data());
+    });
+  }
+  for (auto& t : ts) t.join();
+  int64_t count = 0;
+  for (int t = 0; t < nthreads; t++) {
+    if (cnt[t] == 0) continue;
+    std::memcpy(out_hash + count, ch[t].data(), cnt[t] * 8);
+    std::memcpy(out_pos + count, cp[t].data(), cnt[t] * 8);
+    std::memcpy(out_strand + count, cs[t].data(), cnt[t]);
+    count += cnt[t];
   }
   return count;
 }

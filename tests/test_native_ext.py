@@ -213,3 +213,23 @@ class TestAssembly:
             assert len(got_haps) == len(want.haplotypes), trial
             for a, b in zip(got_haps, want.haplotypes):
                 assert np.array_equal(a, b), trial
+
+
+class TestMinimizersMT:
+    def test_multithreaded_path_matches_python(self, rng):
+        """Inputs over the MT threshold (4M k-mers) take the threaded
+        hash+window path; output must stay bit-identical."""
+        import falcon_genome_tpu.io.native_ext as ne
+        if not ne.available():
+            import pytest
+            pytest.skip("native fgio not built")
+        from falcon_genome_tpu.aligner import _minimizers_py
+        G = (4 << 20) + 50_000
+        codes = rng.integers(0, 4, G).astype(np.uint8)
+        codes[G // 3:G // 3 + 25] = 4          # N runs near chunk seams
+        codes[2 * G // 3] = 4
+        nh, np_, ns = ne.minimizers(codes, 17, 7)
+        ph, pp, ps = _minimizers_py(codes, 17, 7)
+        assert np.array_equal(nh, ph)
+        assert np.array_equal(np_, pp)
+        assert np.array_equal(ns, ps)
