@@ -18,11 +18,15 @@ Design (TPU-first, not a translation):
   computed but masked out of the result; they cannot flow back into valid
   cells because j only advances.
 * **f32 with periodic per-pair rescaling.**  GATK runs f32 with initial
-  condition 2^120 and falls back to f64 on underflow; TPUs have no fast f64,
-  so instead every RESCALE_EVERY diagonals the kernel rescales any pair
-  whose live state has shrunk below 2^-60 by 2^100, accumulating the shift
-  in a per-pair exponent.  The recurrence is linear, so rescaling is exact —
-  unbounded dynamic range without leaving f32.
+  condition 2^120 and falls back to f64 on underflow; TPUs have no fast
+  f64, so instead every RESCALE_EVERY diagonals the kernel rescales any
+  pair whose live state has shrunk below 2^-60 by 2^100 (exact — the
+  recurrence is linear), accumulating the shift in a per-pair exponent.
+  Limits of the scheme: the boundary-fed row stays ~2^111, so a pair whose
+  *whole column* range exceeds f32 (a read that genuinely doesn't align to
+  the hap) cannot be rescued by one per-pair factor and floors to the
+  -inf guard — the same pairs GATK would route to its f64 fallback, and
+  which every caller here floors to a minimum likelihood anyway.
 
 Result: log10 P(read|hap) per pair, matching the float64 golden model
 (`pairhmm_ref.py`) to f32 tolerance.
