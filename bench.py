@@ -34,7 +34,17 @@ def main() -> None:
     from falcon_genome_tpu.ops.pairhmm import (
         PairHMMParams, _pairhmm_device, _pairhmm_jax)
 
-    backend = jax.default_backend()
+    # consecutive short-lived processes contend on the remote-TPU tunnel
+    # lease; first contact can fail transiently — retry before giving up
+    backend = None
+    for attempt in range(4):
+        try:
+            backend = jax.default_backend()
+            break
+        except RuntimeError:
+            if attempt == 3:
+                raise
+            time.sleep(20 * (attempt + 1))
     params = PairHMMParams(max_read_len=BUCKET_R, max_hap_len=BUCKET_H,
                            backend="pallas" if backend == "tpu" else "jax")
 
