@@ -811,3 +811,239 @@ def make_sam_records(name: str, seq1: str, qual1: str, a1: Alignment,
     f1, f2, tlen = _pair_flags(a1, a2, params)
     return [one(seq1, qual1, a1, f1, a2, tlen),
             one(seq2, qual2, a2, f2, a1, -tlen)]
+
+
+# ---------------------------------------------------------------------------
+# columnar SAM emission (vectorized make_sam_records over a whole batch)
+# ---------------------------------------------------------------------------
+
+def _aln_scalars(alns: list[Alignment]) -> np.ndarray:
+    """(n, 8) int64: mapped, tid, pos, is_rev, mapq, score, sub, nm."""
+    n = len(alns)
+    out = np.empty((n, 8), np.int64)
+    for i, a in enumerate(alns):
+        out[i, 0] = a.mapped
+        out[i, 1] = a.tid
+        out[i, 2] = a.pos
+        out[i, 3] = a.is_rev
+        out[i, 4] = a.mapq
+        out[i, 5] = a.score
+        out[i, 6] = a.sub_score
+        out[i, 7] = a.nm
+    return out
+
+
+def _flatten_cigars(alns: list[Alignment], mapped: np.ndarray
+                    ) -> tuple[np.ndarray, np.ndarray, np.ndarray,
+                               np.ndarray, np.ndarray]:
+    """(ops, lens, cig_off, ncigar, ref_len) over the record axis."""
+    ops_l: list[int] = []
+    lens_l: list[int] = []
+    n = len(alns)
+    cig_off = np.zeros(n, np.int64)
+    ncigar = np.zeros(n, np.int32)
+    for i, a in enumerate(alns):
+        cig_off[i] = len(ops_l)
+        if mapped[i] and a.cigar:
+            ncigar[i] = len(a.cigar)
+            for op, ln in a.cigar:
+                ops_l.append(op)
+                lens_l.append(ln)
+    ops = np.asarray(ops_l, np.int32)
+    lens = np.asarray(lens_l, np.int32)
+    if len(ops):
+        contrib = np.where((ops == CIGAR_M) | (ops == CIGAR_D), lens, 0)
+        csum = np.concatenate([[0], np.cumsum(contrib, dtype=np.int64)])
+        ref_len = csum[cig_off + ncigar] - csum[cig_off]
+    else:
+        ref_len = np.zeros(n, np.int64)
+    return ops, lens, cig_off, ncigar, ref_len
+
+
+def _oriented_blob(codes: np.ndarray, quals: np.ndarray, lens: np.ndarray,
+                   rev: np.ndarray) -> tuple[np.ndarray, np.ndarray,
+                                             np.ndarray]:
+    """Flatten padded (N, L) codes/quals to per-record blobs, reverse-
+    complementing rows flagged in ``rev`` (vectorized gather)."""
+    from .io.dna import _COMP_LUT
+    lens64 = lens.astype(np.int64)
+    off = np.zeros(len(lens64), np.int64)
+    np.cumsum(lens64[:-1], out=off[1:])
+    total = int(lens64.sum())
+    k = np.arange(total) - np.repeat(off, lens64)
+    row = np.repeat(np.arange(len(lens64)), lens64)
+    rrep = np.repeat(rev, lens64)
+    col = np.where(rrep, np.repeat(lens64, lens64) - 1 - k, k)
+    seq = codes[row, col]
+    seq = np.where(rrep, _COMP_LUT[seq], seq).astype(np.uint8)
+    qual = quals[row, col].astype(np.uint8)
+    return seq, qual, off
+
+
+def _tag_blob(mapped: np.ndarray, nm: np.ndarray, score: np.ndarray,
+              sub: np.ndarray, read_group: str | None
+              ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """NM/AS/XS + RG tag bytes per record (int16 ';s' encoding)."""
+    n = len(mapped)
+    rg_part = (b"RGZ" + read_group.encode() + b"\x00") if read_group else b""
+    if int(max(nm.max(initial=0), score.max(initial=0),
+               sub.max(initial=0))) > 32767:
+        raise ValueError("tag value exceeds int16 fast path")
+    lm = 15 + len(rg_part)
+    lu = len(rg_part)
+    tag_len = np.where(mapped, lm, lu).astype(np.int64)
+    tag_off = np.zeros(n, np.int64)
+    np.cumsum(tag_len[:-1], out=tag_off[1:])
+    blob = np.zeros(int(tag_len.sum()), np.uint8)
+    midx = np.flatnonzero(mapped)
+    if len(midx):
+        tmpl = np.frombuffer(b"NMs\x00\x00ASs\x00\x00XSs\x00\x00" + rg_part,
+                             np.uint8)
+        mat = np.tile(tmpl, (len(midx), 1))
+        for base, vals in ((3, nm[midx]), (8, score[midx]), (13, sub[midx])):
+            v16 = vals.astype(np.int16).view(np.uint16)
+            mat[:, base] = (v16 & 0xFF).astype(np.uint8)
+            mat[:, base + 1] = (v16 >> 8).astype(np.uint8)
+        dst = (np.repeat(tag_off[midx], lm)
+               + np.tile(np.arange(lm), len(midx)))
+        blob[dst] = mat.ravel()
+    if lu:
+        uidx = np.flatnonzero(~mapped)
+        if len(uidx):
+            dst = (np.repeat(tag_off[uidx], lu)
+                   + np.tile(np.arange(lu), len(uidx)))
+            blob[dst] = np.tile(np.frombuffer(rg_part, np.uint8),
+                                len(uidx))
+    return blob, tag_off, tag_len
+
+
+def alignments_to_columns(b1, res1: list[Alignment], b2=None,
+                          res2: list[Alignment] | None = None,
+                          params: AlignerParams | None = None,
+                          read_group: str | None = None):
+    """Vectorized make_sam_records over a whole batch → RecordColumns.
+
+    Pairs interleave read-major (rec 2i = read1_i, 2i+1 = read2_i),
+    matching the record-path emission order.  Decoded records are
+    identical to mapping make_sam_records over the batch (asserted by
+    tests); no per-read Python objects or strings are built.
+    """
+    from .io.columns import RecordColumns
+    params = params or AlignerParams()
+    B = len(res1)
+    paired = b2 is not None and res2 is not None
+
+    if paired:
+        N = 2 * B
+        alns: list[Alignment] = [None] * N
+        alns[0::2] = res1
+        alns[1::2] = res2
+        Lmax = max(b1.codes.shape[1], b2.codes.shape[1])
+        codes = np.full((N, Lmax), 4, np.uint8)
+        quals = np.zeros((N, Lmax), np.uint8)
+        codes[0::2, :b1.codes.shape[1]] = b1.codes
+        codes[1::2, :b2.codes.shape[1]] = b2.codes
+        quals[0::2, :b1.quals.shape[1]] = b1.quals
+        quals[1::2, :b2.quals.shape[1]] = b2.quals
+        lens = np.empty(N, np.int64)
+        lens[0::2] = b1.lengths
+        lens[1::2] = b2.lengths
+    else:
+        N = B
+        alns = list(res1)
+        codes = b1.codes
+        quals = b1.quals
+        lens = np.asarray(b1.lengths, np.int64)
+
+    s = _aln_scalars(alns)
+    mapped = s[:, 0].astype(bool)
+    tid = np.where(mapped, s[:, 1], -1)
+    pos = np.where(mapped, s[:, 2], -1)
+    rev = s[:, 3].astype(bool)
+    mapq = np.where(mapped, s[:, 4], 0)
+
+    ops, clens, cig_off, ncigar, ref_len = _flatten_cigars(alns, mapped)
+    end_pos = np.where(ncigar > 0, pos + ref_len, pos + 1)
+
+    if paired:
+        m1, m2 = mapped[0::2], mapped[1::2]
+        r1, r2 = rev[0::2], rev[1::2]
+        p1, p2 = pos[0::2], pos[1::2]
+        t1, t2 = tid[0::2], tid[1::2]
+        rl1, rl2 = ref_len[0::2], ref_len[1::2]
+        f1 = np.full(B, FLAG_PAIRED | FLAG_READ1, np.int64)
+        f2 = np.full(B, FLAG_PAIRED | FLAG_READ2, np.int64)
+        f1 |= np.where(~m1, FLAG_UNMAPPED, 0) | np.where(
+            ~m2, FLAG_MATE_UNMAPPED, 0)
+        f2 |= np.where(~m2, FLAG_UNMAPPED, 0) | np.where(
+            ~m1, FLAG_MATE_UNMAPPED, 0)
+        f1 |= np.where(r1, FLAG_REVERSE, 0) | np.where(
+            r2, FLAG_MATE_REVERSE, 0)
+        f2 |= np.where(r2, FLAG_REVERSE, 0) | np.where(
+            r1, FLAG_MATE_REVERSE, 0)
+        both = m1 & m2 & (t1 == t2) & (r1 != r2)
+        a1_left = p1 <= p2
+        left_pos = np.where(a1_left, p1, p2)
+        end_right = np.where(a1_left, p2 + rl2, p1 + rl1)
+        span = end_right - left_pos
+        left_rev = np.where(a1_left, r1, r2)
+        right_rev = np.where(a1_left, r2, r1)
+        proper = (both & ~left_rev & right_rev
+                  & (span >= params.min_insert)
+                  & (span <= params.max_insert))
+        f1 |= np.where(proper, FLAG_PROPER_PAIR, 0)
+        f2 |= np.where(proper, FLAG_PROPER_PAIR, 0)
+        tlen1 = np.where(proper, np.where(a1_left, span, -span), 0)
+        flag = np.empty(N, np.int64)
+        flag[0::2] = f1
+        flag[1::2] = f2
+        tlen = np.empty(N, np.int64)
+        tlen[0::2] = tlen1
+        tlen[1::2] = -tlen1
+        mtid = np.empty(N, np.int64)
+        mtid[0::2] = np.where(m2, t2, -1)
+        mtid[1::2] = np.where(m1, t1, -1)
+        mpos = np.empty(N, np.int64)
+        mpos[0::2] = np.where(m2, p2, -1)
+        mpos[1::2] = np.where(m1, p1, -1)
+    else:
+        flag = np.where(mapped, 0, FLAG_UNMAPPED) | np.where(
+            mapped & rev, FLAG_REVERSE, 0)
+        tlen = np.zeros(N, np.int64)
+        mtid = np.full(N, -1, np.int64)
+        mpos = np.full(N, -1, np.int64)
+
+    seq, qual, seq_off = _oriented_blob(codes, quals, lens, mapped & rev)
+    blob_t, tag_off, tag_len = _tag_blob(
+        mapped, s[:, 7], s[:, 5], s[:, 6], read_group)
+
+    # names: pairs share one span (offsets may alias)
+    names_bytes = "".join(b1.names).encode()
+    nlens = np.fromiter((len(x) for x in b1.names), np.int64, B)
+    noff = np.zeros(B, np.int64)
+    np.cumsum(nlens[:-1], out=noff[1:])
+    if paired:
+        name_off = np.repeat(noff, 2)
+        name_len = np.repeat(nlens, 2)
+    else:
+        name_off, name_len = noff, nlens
+
+    fixed = np.empty((N, 12), np.int32)
+    fixed[:, 0] = tid
+    fixed[:, 1] = pos
+    fixed[:, 2] = mapq
+    fixed[:, 3] = flag
+    fixed[:, 4] = lens
+    fixed[:, 5] = mtid
+    fixed[:, 6] = mpos
+    fixed[:, 7] = tlen
+    fixed[:, 8] = ncigar
+    fixed[:, 9] = name_len
+    fixed[:, 10] = 0
+    fixed[:, 11] = end_pos
+    return RecordColumns(
+        fixed=fixed, names=np.frombuffer(names_bytes, np.uint8),
+        name_off=name_off, cigar_ops=ops, cigar_lens=clens,
+        cig_off=cig_off, seq=seq, qual=qual, seq_off=seq_off,
+        tags=blob_t, tag_off=tag_off, tag_len=tag_len,
+        seq_mode="codes", qual_mode="raw")

@@ -289,6 +289,70 @@ def write_bam(path: str | Path, header: SamHeader, records,
     return str(path)
 
 
+def _header_bytes(header: SamHeader) -> bytes:
+    text = header.to_text().encode()
+    buf = _BAM_MAGIC + struct.pack("<i", len(text)) + text
+    buf += struct.pack("<i", len(header.contigs))
+    for name, length in header.contigs:
+        nm = name.encode() + b"\x00"
+        buf += struct.pack("<i", len(nm)) + nm + struct.pack("<i", length)
+    return buf
+
+
+def write_bam_columns(path: str | Path, header: SamHeader, cols,
+                      order=None, index: bool = True,
+                      level: int = 6) -> str:
+    """Columnar fast path of write_bam: native record encode (threaded,
+    permutation applied on the fly) + threaded BGZF + analytic virtual
+    offsets for the ``.bai``.  Falls back to the record path without the
+    native lib."""
+    from . import native_ext
+    from .columns import F_ENDPOS, F_FLAG, F_POS, F_TID
+    from .sam import FLAG_UNMAPPED
+    from .tabix import write_bai_arrays
+
+    body = cols.encode(order) if native_ext.available() else None
+    if body is None:
+        recs = cols.to_records()
+        if order is not None:
+            recs = [recs[i] for i in order]
+        return write_bam(path, header, recs, index=index)
+
+    hdr = _header_bytes(header)
+    stream = np.concatenate([np.frombuffer(hdr, np.uint8), body])
+    comp, coffs = native_ext.bgzf_compress_mt(stream.tobytes(), level)
+    from .bgzf import _EOF_BLOCK
+    with open(path, "wb") as f:
+        f.write(comp)
+        f.write(_EOF_BLOCK)
+
+    if index and len(cols):
+        f12 = cols.fixed if order is None else cols.fixed[order]
+        sizes = cols.record_sizes()
+        if order is not None:
+            sizes = sizes[order]
+        u = np.zeros(len(cols) + 1, np.int64)
+        np.cumsum(sizes, out=u[1:])
+        u += len(hdr)
+        blk = u // 65280
+        voff = (coffs[blk].astype(np.uint64) << np.uint64(16)) \
+            | (u % 65280).astype(np.uint64)
+        mapped = (f12[:, F_FLAG] & FLAG_UNMAPPED) == 0
+        tid = f12[:, F_TID].astype(np.int64)
+        pos = f12[:, F_POS].astype(np.int64)
+        m_tid, m_pos = tid[mapped], pos[mapped]
+        is_sorted = bool(
+            np.all((m_tid[1:] > m_tid[:-1])
+                   | ((m_tid[1:] == m_tid[:-1]) & (m_pos[1:] >= m_pos[:-1]))))
+        if is_sorted:
+            end = np.maximum(f12[:, F_ENDPOS].astype(np.int64), pos + 1)
+            write_bai_arrays(
+                str(path) + ".bai", max(len(header.contigs), 1),
+                tid[mapped], pos[mapped], end[mapped],
+                voff[:-1][mapped], voff[1:][mapped])
+    return str(path)
+
+
 def _records_from_scan(blob: bytes, scan) -> list[SamRecord]:
     """Assemble SamRecords from the native columnar scan (tags stay raw)."""
     ok, fixed, offs, cig_off, cops, clens, seq_a, qual_a = scan

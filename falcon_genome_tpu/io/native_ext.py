@@ -64,6 +64,23 @@ def load() -> ctypes.CDLL | None:
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p]
+        lib.fg_bgzf_compress_mt.restype = ctypes.c_int64
+        lib.fg_bgzf_compress_mt.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
+        lib.fg_bam_encode.restype = None
+        lib.fg_bam_encode.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int]
+        lib.fg_hash_spans.restype = None
+        lib.fg_hash_spans.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_void_p]
         lib.fg_bam_scan_sizes.restype = None
         lib.fg_bam_scan_sizes.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
@@ -199,6 +216,89 @@ def assemble_region(ref: np.ndarray, reads: list[np.ndarray],
         return None
     haps = [out[out_offs[i]:out_offs[i + 1]].copy() for i in range(n)]
     return haps, int(out_k[0]), bool(out_fb[0])
+
+
+def bgzf_compress_mt(data, level: int = 6, nthreads: int = 0):
+    """Threaded BGZF compression.  Returns (bytes, block_coffs int64
+    (nblocks+1,)) or None when the lib is unavailable.  block_coffs[i] is
+    the compressed offset of the block covering uncompressed bytes
+    [i*65280, (i+1)*65280) — the key to analytic virtual offsets."""
+    lib = load()
+    if lib is None:
+        return None
+    if nthreads <= 0:
+        import os
+        nthreads = min(os.cpu_count() or 1, 8)
+    src = np.frombuffer(data, np.uint8) if isinstance(data, (bytes,
+                        bytearray, memoryview)) else np.ascontiguousarray(
+                            data, np.uint8)
+    n = len(src)
+    cap = lib.fg_bgzf_bound(n)
+    dst = np.empty(cap, np.uint8)
+    nblocks = max((n + 65279) // 65280, 0)
+    coffs = np.zeros(nblocks + 1, np.int64)
+    out = lib.fg_bgzf_compress_mt(
+        src.ctypes.data if n else None, n, level, nthreads,
+        dst.ctypes.data, cap, coffs.ctypes.data)
+    if out < 0:
+        return None
+    return dst[:out].tobytes(), coffs
+
+
+def bam_encode(fixed, perm, names, name_off, cops, clens, cig_off,
+               seq, qual, seq_off, seq_mode: int, qual_mode: int,
+               tags, tag_off, tag_len, rec_off, nthreads: int = 0):
+    """Columnar → concatenated BAM record bytes (uncompressed stream).
+
+    rec_off (N+1 int64) gives each OUTPUT record's byte offset (computed
+    python-side from the permuted sizes); returns the filled buffer or
+    None when the lib is unavailable."""
+    lib = load()
+    if lib is None:
+        return None
+    if nthreads <= 0:
+        import os
+        nthreads = min(os.cpu_count() or 1, 8)
+    N = fixed.shape[0]
+    fixed = np.ascontiguousarray(fixed, np.int32)
+    perm_a = (np.ascontiguousarray(perm, np.int64)
+              if perm is not None else None)
+    names = np.ascontiguousarray(names, np.uint8)
+    name_off = np.ascontiguousarray(name_off, np.int64)
+    cops = np.ascontiguousarray(cops, np.int32)
+    clens = np.ascontiguousarray(clens, np.int32)
+    cig_off = np.ascontiguousarray(cig_off, np.int64)
+    seq = np.ascontiguousarray(seq, np.uint8)
+    qual = np.ascontiguousarray(qual, np.uint8)
+    seq_off = np.ascontiguousarray(seq_off, np.int64)
+    tags = np.ascontiguousarray(tags, np.uint8)
+    tag_off = np.ascontiguousarray(tag_off, np.int64)
+    tag_len = np.ascontiguousarray(tag_len, np.int64)
+    rec_off = np.ascontiguousarray(rec_off, np.int64)
+    out = np.empty(int(rec_off[-1]), np.uint8)
+    lib.fg_bam_encode(
+        fixed.ctypes.data, perm_a.ctypes.data if perm_a is not None else None,
+        N, names.ctypes.data, name_off.ctypes.data,
+        cops.ctypes.data, clens.ctypes.data, cig_off.ctypes.data,
+        seq.ctypes.data, qual.ctypes.data, seq_off.ctypes.data,
+        seq_mode, qual_mode, tags.ctypes.data, tag_off.ctypes.data,
+        tag_len.ctypes.data, rec_off.ctypes.data, out.ctypes.data, nthreads)
+    return out
+
+
+def hash_spans(blob: np.ndarray, offs: np.ndarray, lens: np.ndarray
+               ) -> np.ndarray | None:
+    """64-bit content hash per (offset, length) span of blob."""
+    lib = load()
+    if lib is None:
+        return None
+    blob = np.ascontiguousarray(blob, np.uint8)
+    offs = np.ascontiguousarray(offs, np.int64)
+    lens = np.ascontiguousarray(lens, np.int32)
+    out = np.empty(len(offs), np.uint64)
+    lib.fg_hash_spans(blob.ctypes.data, offs.ctypes.data, lens.ctypes.data,
+                      len(offs), out.ctypes.data)
+    return out
 
 
 def bam_scan(blob: bytes):

@@ -106,6 +106,98 @@ class IndexBuilder:
         return str(path)
 
 
+def build_bai_body_arrays(n_ref: int, tid, beg, end, vs, ve) -> bytes:
+    """Vectorized IndexBuilder._body: same bytes, column inputs.
+
+    Features must be in file order (vs non-decreasing); adjacent features
+    of one bin merge into one chunk exactly like IndexBuilder.add."""
+    import numpy as np
+    tid = np.asarray(tid, np.int64)
+    beg = np.asarray(beg, np.int64)
+    end = np.maximum(np.asarray(end, np.int64), beg + 1)
+    vs = np.asarray(vs, np.uint64)
+    ve = np.asarray(ve, np.uint64)
+    keep = (tid >= 0) & (tid < n_ref)
+    tid, beg, end, vs, ve = tid[keep], beg[keep], end[keep], vs[keep], \
+        ve[keep]
+    n = len(tid)
+
+    # vectorized reg2bin
+    e1 = end - 1
+    bins = np.zeros(n, np.int64)
+    done = np.zeros(n, bool)
+    for shift, base in ((14, (1 << 15) - 1), (17, (1 << 12) - 1),
+                        (20, (1 << 9) - 1), (23, (1 << 6) - 1),
+                        (26, (1 << 3) - 1)):
+        hit = ~done & ((beg >> shift) == (e1 >> shift))
+        bins[hit] = base // 7 + (beg[hit] >> shift)
+        done |= hit
+
+    # chunk runs: consecutive same-(tid,bin) features whose voffs chain
+    if n:
+        brk = np.ones(n, bool)
+        brk[1:] = ((tid[1:] != tid[:-1]) | (bins[1:] != bins[:-1])
+                   | (ve[:-1] != vs[1:]))
+        starts = np.flatnonzero(brk)
+        ends_i = np.concatenate([starts[1:], [n]]) - 1
+        r_tid, r_bin = tid[starts], bins[starts]
+        r_u, r_v = vs[starts], ve[ends_i]
+        order = np.lexsort((r_bin, r_tid))  # stable: file order kept
+        r_tid, r_bin, r_u, r_v = (r_tid[order], r_bin[order], r_u[order],
+                                  r_v[order])
+    else:
+        r_tid = r_bin = np.zeros(0, np.int64)
+        r_u = r_v = np.zeros(0, np.uint64)
+
+    out = bytearray()
+    for ref in range(n_ref):
+        lo = np.searchsorted(r_tid, ref, side="left")
+        hi = np.searchsorted(r_tid, ref, side="right")
+        rb, ru, rv = r_bin[lo:hi], r_u[lo:hi], r_v[lo:hi]
+        firsts = np.ones(len(rb), bool)
+        firsts[1:] = rb[1:] != rb[:-1]
+        bin_starts = np.flatnonzero(firsts)
+        bin_ends = np.concatenate([bin_starts[1:], [len(rb)]])
+        out += struct.pack("<i", len(bin_starts))
+        for s, e in zip(bin_starts.tolist(), bin_ends.tolist()):
+            out += struct.pack("<Ii", int(rb[s]), e - s)
+            chunk = np.empty((e - s, 2), "<u8")
+            chunk[:, 0] = ru[s:e]
+            chunk[:, 1] = rv[s:e]
+            out += chunk.tobytes()
+
+        # linear index: min voff_start per 16kb window, forward-filled
+        sel = tid == ref
+        if not sel.any():
+            out += struct.pack("<i", 0)
+            continue
+        b0 = beg[sel] >> LINEAR_SHIFT
+        w1 = (end[sel] - 1) >> LINEAR_SHIFT
+        v0 = vs[sel]
+        n_intv = int(w1.max()) + 1
+        BIG = np.uint64(0xFFFFFFFFFFFFFFFF)
+        lin = np.full(n_intv, BIG, np.uint64)
+        span = int((w1 - b0).max())
+        for k in range(span + 1):
+            m = b0 + k <= w1
+            np.minimum.at(lin, b0[m] + k, v0[m])
+        filled = lin != BIG
+        idx = np.where(filled, np.arange(n_intv), -1)
+        np.maximum.accumulate(idx, out=idx)
+        vals = np.where(idx >= 0, lin[np.maximum(idx, 0)], np.uint64(0))
+        out += struct.pack("<i", n_intv)
+        out += vals.astype("<u8").tobytes()
+    return bytes(out)
+
+
+def write_bai_arrays(path: str | Path, n_ref: int, tid, beg, end, vs,
+                     ve) -> str:
+    with open(path, "wb") as f:
+        f.write(BAI_MAGIC + struct.pack("<i", n_ref)
+                + build_bai_body_arrays(n_ref, tid, beg, end, vs, ve))
+    return str(path)
+
+
 # ---------------------------------------------------------------------------
 # reading + query
 # ---------------------------------------------------------------------------

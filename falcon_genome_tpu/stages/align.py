@@ -5,28 +5,36 @@ sample (sample-sheet loop), per read-group alignment, bucketed sorted
 output with ``part-%06d.bam`` naming (BWAWorker's ``--num_buckets``), then
 merge.  Compute is the in-repo aligner engine (minimizer seeding + TPU SW
 extension) instead of a forked ``bwa-flow mem``.
+
+Record emission is columnar end-to-end: alignments become RecordColumns
+(vectorized, no per-read objects), sorting is a lexsort permutation, and
+the native encoder writes BAM bytes with the permutation applied on the
+fly (io/columns.py, fg_bam_encode).
 """
 from __future__ import annotations
 
 import logging
 from pathlib import Path
 
-from ..aligner import AlignerEngine, AlignerParams, make_sam_records
-from ..bamops import sort_records
+import numpy as np
+
+from ..aligner import AlignerEngine, AlignerParams, alignments_to_columns
 from ..config import Config
-from ..io.bam import write_bam
+from ..io.bam import write_bam_columns
+from ..io.columns import F_FLAG, F_POS, F_TID, RecordColumns
 from ..io.fastq import FastqReader
-from ..io.sam import SamRecord
+from ..io.sam import FLAG_UNMAPPED
 from ..pipeline.runner import PipelineRunner, stage
 from ..samples import SampleDetails, load_sample_sheet
 from ..utils.common import check_input, check_output, get_bucket_fname
+
 from .common import header_from_fasta, load_fasta, load_index
 
 log = logging.getLogger("falcon_genome_tpu")
 
 
 def _align_read_group(engine: AlignerEngine, det: SampleDetails,
-                      batch_size: int) -> list[SamRecord]:
+                      batch_size: int) -> RecordColumns:
     reader = FastqReader(check_input(det.fastq1),
                          check_input(det.fastq2) if det.fastq2 else None,
                          batch_size=batch_size)
@@ -40,25 +48,15 @@ def _align_read_group(engine: AlignerEngine, det: SampleDetails,
                 b1.codes, b1.lengths, b2.codes, b2.lengths)
         return engine.align_batch(b1.codes, b1.lengths), None
 
-    def emit(b1, b2, res1, res2, records):
-        for i, name in enumerate(b1.names):
-            seq1 = _seq_str(b1, i)
-            qual1 = _qual_str(b1, i)
-            if res2 is not None:
-                recs = make_sam_records(
-                    name, seq1, qual1, res1[i],
-                    _seq_str(b2, i), _qual_str(b2, i), res2[i],
-                    params=engine.params, read_group=det.read_group)
-            else:
-                recs = make_sam_records(
-                    name, seq1, qual1, res1[i],
-                    params=engine.params, read_group=det.read_group)
-            records.extend(recs)
+    def emit(b1, b2, res1, res2, parts):
+        parts.append(alignments_to_columns(
+            b1, res1, b2, res2, params=engine.params,
+            read_group=det.read_group))
 
     # two-stage pipeline: batch N+1's device work runs in a worker thread
-    # while this thread builds batch N's SAM records (device waits release
-    # the GIL, so host record emission overlaps kernel time)
-    records: list[SamRecord] = []
+    # while this thread builds batch N's record columns (device waits
+    # release the GIL, so host emission overlaps kernel time)
+    parts: list[RecordColumns] = []
     with ThreadPoolExecutor(max_workers=1) as pool:
         pending = None            # (b1, b2, future)
         for b1, b2 in reader:
@@ -67,25 +65,14 @@ def _align_read_group(engine: AlignerEngine, det: SampleDetails,
                 p1, p2, pf = pending
                 r1, r2 = pf.result()
                 pending = (b1, b2, fut)
-                emit(p1, p2, r1, r2, records)
+                emit(p1, p2, r1, r2, parts)
             else:
                 pending = (b1, b2, fut)
         if pending is not None:
             p1, p2, pf = pending
             r1, r2 = pf.result()
-            emit(p1, p2, r1, r2, records)
-    return records
-
-
-def _seq_str(batch, i) -> str:
-    from ..io.dna import decode_seq
-    return decode_seq(batch.codes[i, :batch.lengths[i]])
-
-
-def _qual_str(batch, i) -> str:
-    q = batch.quals[i, :batch.lengths[i]]
-    import numpy as np
-    return (q.astype(np.uint8) + 33).tobytes().decode()
+            emit(p1, p2, r1, r2, parts)
+    return RecordColumns.concat(parts)
 
 
 def run_align(conf: Config, ref: str, output: str,
@@ -126,8 +113,8 @@ def run_align(conf: Config, ref: str, output: str,
              for d in details],
             nprocs=1)  # engine batches internally; one RG at a time
         (rg_results,) = runner.run([align_stage]).values()
-        records = [r for rg in rg_results for r in rg]
-        records = sort_records(records)
+        cols = RecordColumns.concat(list(rg_results))
+        order = cols.coordinate_order()
 
         nb = num_buckets or 0
         if nb > 1:
@@ -136,17 +123,28 @@ def run_align(conf: Config, ref: str, output: str,
             bucket_dir.mkdir(parents=True, exist_ok=True)
             total = fa.dict.total_length()
             per = (total + nb - 1) // nb
-            offs = {c.name: sum(x.length for x in fa.dict.contigs[:i])
-                    for i, c in enumerate(fa.dict)}
-            buckets: dict[int, list[SamRecord]] = {}
-            for r in records:
-                g = (offs.get(header.contig_name(r.tid), 0) + max(r.pos, 0)
-                     if not r.is_unmapped else total)
-                buckets.setdefault(min(int(g // per), nb - 1), []).append(r)
-            for bi, recs in sorted(buckets.items()):
-                write_bam(get_bucket_fname(bucket_dir, bi), header, recs)
+            offs = np.zeros(len(fa.dict.contigs) + 1, np.int64)
+            np.cumsum([c.length for c in fa.dict.contigs], out=offs[1:])
+            tid = cols.fixed[:, F_TID].astype(np.int64)
+            pos = cols.fixed[:, F_POS].astype(np.int64)
+            unmapped = (cols.fixed[:, F_FLAG] & FLAG_UNMAPPED) != 0
+            gpos = np.where(unmapped, total,
+                            offs[np.maximum(tid, 0)] + np.maximum(pos, 0))
+            bucket_id = np.minimum(gpos // per, nb - 1).astype(np.int64)
+            bid_sorted = bucket_id[order]
+            # order is coordinate-sorted → bucket ids are non-decreasing
+            # except for the unmapped tail, which sorts last anyway
+            bid_run = np.sort(bid_sorted, kind="stable")
+            splits = np.searchsorted(bid_run, np.arange(nb + 1))
+            order_by_bucket = order[np.argsort(bid_sorted, kind="stable")]
+            for bi in range(nb):
+                lo, hi = int(splits[bi]), int(splits[bi + 1])
+                if lo == hi:
+                    continue
+                write_bam_columns(get_bucket_fname(bucket_dir, bi), header,
+                                  cols, order=order_by_bucket[lo:hi])
         if merge or nb <= 1:
-            write_bam(out_path, header, records)
+            write_bam_columns(out_path, header, cols, order=order)
             outputs.append(out_path)
-        log.info("align[%s]: %d records → %s", sid, len(records), out_path)
+        log.info("align[%s]: %d records → %s", sid, len(cols), out_path)
     return outputs

@@ -14,6 +14,7 @@
 //
 // Build: native/build.sh  (g++ -O3 -shared -fPIC fgio.cpp -lz)
 
+#include <cctype>
 #include <cstdint>
 #include <cstring>
 #include <algorithm>
@@ -82,6 +83,223 @@ int64_t fg_bgzf_compress(const uint8_t* src, int64_t n, int level,
     off += chunk;
   }
   return out;
+}
+
+// Threaded BGZF: same output bytes as fg_bgzf_compress (blocks are
+// independent deflate streams).  block_coffs (optional, nblocks+1 slots)
+// receives each block's compressed start offset — with the fixed 65280-byte
+// uncompressed block pitch this is everything needed to compute any
+// record's BGZF virtual offset analytically (for .bai/.tbi building).
+static int64_t bgzf_one_block(const uint8_t* src, int64_t chunk, int level,
+                              std::vector<uint8_t>* out) {
+  z_stream zs;
+  std::memset(&zs, 0, sizeof(zs));
+  if (deflateInit2(&zs, level, Z_DEFLATED, -15, 8,
+                   Z_DEFAULT_STRATEGY) != Z_OK)
+    return -1;
+  std::vector<uint8_t> comp(chunk + chunk / 2 + 64);
+  zs.next_in = const_cast<uint8_t*>(src);
+  zs.avail_in = (uInt)chunk;
+  zs.next_out = comp.data();
+  zs.avail_out = (uInt)comp.size();
+  if (deflate(&zs, Z_FINISH) != Z_STREAM_END) {
+    deflateEnd(&zs);
+    return -1;
+  }
+  int64_t clen = (int64_t)zs.total_out;
+  deflateEnd(&zs);
+
+  int64_t bsize = clen + 26;
+  out->resize(bsize);
+  uint8_t* p = out->data();
+  p[0] = 0x1f; p[1] = 0x8b; p[2] = 8; p[3] = 4;
+  std::memset(p + 4, 0, 5);
+  p[9] = 0xff;
+  p[10] = 6; p[11] = 0;
+  p[12] = 0x42; p[13] = 0x43; p[14] = 2; p[15] = 0;
+  uint16_t bs16 = (uint16_t)(bsize - 1);
+  p[16] = bs16 & 0xff; p[17] = bs16 >> 8;
+  std::memcpy(p + 18, comp.data(), clen);
+  uint32_t crc = crc32(0, src, (uInt)chunk);
+  uint32_t isize = (uint32_t)chunk;
+  std::memcpy(p + 18 + clen, &crc, 4);
+  std::memcpy(p + 22 + clen, &isize, 4);
+  return bsize;
+}
+
+int64_t fg_bgzf_compress_mt(const uint8_t* src, int64_t n, int level,
+                            int nthreads, uint8_t* dst, int64_t dst_cap,
+                            int64_t* block_coffs) {
+  int64_t nblocks = (n + BGZF_BLOCK - 1) / BGZF_BLOCK;
+  if (nblocks == 0) {
+    if (block_coffs) block_coffs[0] = 0;
+    return 0;
+  }
+  if (nthreads < 1) nthreads = 1;
+  if (nthreads > nblocks) nthreads = (int)nblocks;
+  std::vector<std::vector<uint8_t>> blocks(nblocks);
+  std::vector<int> fail(nthreads, 0);
+  auto run = [&](int t) {
+    for (int64_t b = t; b < nblocks; b += nthreads) {
+      int64_t off = b * BGZF_BLOCK;
+      int64_t chunk = std::min<int64_t>(BGZF_BLOCK, n - off);
+      if (bgzf_one_block(src + off, chunk, level, &blocks[b]) < 0)
+        fail[t] = 1;
+    }
+  };
+  if (nthreads == 1) {
+    run(0);
+  } else {
+    std::vector<std::thread> ts;
+    for (int t = 0; t < nthreads; t++) ts.emplace_back(run, t);
+    for (auto& t : ts) t.join();
+  }
+  for (int t = 0; t < nthreads; t++)
+    if (fail[t]) return -1;
+  int64_t out = 0;
+  for (int64_t b = 0; b < nblocks; b++) {
+    if (out + (int64_t)blocks[b].size() > dst_cap) return -1;
+    if (block_coffs) block_coffs[b] = out;
+    std::memcpy(dst + out, blocks[b].data(), blocks[b].size());
+    out += blocks[b].size();
+  }
+  if (block_coffs) block_coffs[nblocks] = out;
+  return out;
+}
+
+// ---------------------------------------------------------------------------
+// columnar BAM record encode (inverse of fg_bam_scan; must match
+// io.bam._encode_record field-for-field for the supported column forms)
+// ---------------------------------------------------------------------------
+
+static int bam_reg2bin(int64_t beg, int64_t end) {
+  end -= 1;
+  if (beg >> 14 == end >> 14) return (int)(((1 << 15) - 1) / 7 + (beg >> 14));
+  if (beg >> 17 == end >> 17) return (int)(((1 << 12) - 1) / 7 + (beg >> 17));
+  if (beg >> 20 == end >> 20) return (int)(((1 << 9) - 1) / 7 + (beg >> 20));
+  if (beg >> 23 == end >> 23) return (int)(((1 << 6) - 1) / 7 + (beg >> 23));
+  if (beg >> 26 == end >> 26) return (int)(((1 << 3) - 1) / 7 + (beg >> 26));
+  return 0;
+}
+
+// ASCII base -> 4-bit NT16 code ("=ACMGRSVTWYHKDBN", case-insensitive,
+// unknown -> 15), matching io.bam._SEQ_ENC_LUT.
+static uint8_t SEQ_NIB[256];
+static uint8_t CODE_NIB[5] = {1, 2, 4, 8, 15};  // A C G T N
+static bool seq_nib_init = []() {
+  const char* nt = "=ACMGRSVTWYHKDBN";
+  for (int i = 0; i < 256; i++) SEQ_NIB[i] = 15;
+  for (int i = 0; i < 16; i++) {
+    SEQ_NIB[(uint8_t)nt[i]] = (uint8_t)i;
+    SEQ_NIB[(uint8_t)std::tolower(nt[i])] = (uint8_t)i;
+  }
+  return true;
+}();
+
+// fixed is the fg_bam_scan (N,12) layout: tid,pos,mapq,flag,lseq,mtid,mpos,
+// tlen,ncigar,lname(no NUL),qual_star,end_pos.  perm gives the source row
+// for each output slot; rec_off (N+1) gives each output record's byte
+// offset (python computes it from the permuted sizes).  seq_mode: 0 = ASCII
+// bases, 1 = 0..4 base codes.  qual_mode: 0 = ASCII (phred+33), 1 = raw.
+void fg_bam_encode(const int32_t* fixed, const int64_t* perm, int64_t N,
+                   const uint8_t* names, const int64_t* name_off,
+                   const int32_t* cops, const int32_t* clens,
+                   const int64_t* cig_off,
+                   const uint8_t* seq, const uint8_t* qual,
+                   const int64_t* seq_off, int seq_mode, int qual_mode,
+                   const uint8_t* tags, const int64_t* tag_off,
+                   const int64_t* tag_len,
+                   const int64_t* rec_off, uint8_t* out, int nthreads) {
+  auto encode_range = [&](int64_t i0, int64_t i1) {
+    for (int64_t i = i0; i < i1; i++) {
+      int64_t r = perm ? perm[i] : i;
+      const int32_t* f = fixed + r * 12;
+      int32_t tid = f[0], pos = f[1], mapq = f[2], flag = f[3], lseq = f[4];
+      int32_t mtid = f[5], mpos = f[6], tlen = f[7], nc = f[8];
+      int32_t lname = f[9], qstar = f[10], endp = f[11];
+      uint8_t* p = out + rec_off[i];
+      int64_t size = rec_off[i + 1] - rec_off[i] - 4;
+      std::memcpy(p, &size, 4);  // little-endian int32 (low 4 bytes)
+      p += 4;
+      std::memcpy(p, &tid, 4);
+      std::memcpy(p + 4, &pos, 4);
+      p[8] = (uint8_t)(lname + 1);
+      p[9] = (uint8_t)mapq;
+      int64_t beg = pos > 0 ? pos : 0;
+      int64_t end = nc ? endp : (int64_t)pos + 1;
+      if (end < 1) end = 1;
+      uint16_t bin = (uint16_t)bam_reg2bin(beg, end);
+      std::memcpy(p + 10, &bin, 2);
+      uint16_t nc16 = (uint16_t)nc, flag16 = (uint16_t)flag;
+      std::memcpy(p + 12, &nc16, 2);
+      std::memcpy(p + 14, &flag16, 2);
+      std::memcpy(p + 16, &lseq, 4);
+      std::memcpy(p + 20, &mtid, 4);
+      std::memcpy(p + 24, &mpos, 4);
+      std::memcpy(p + 28, &tlen, 4);
+      p += 32;
+      std::memcpy(p, names + name_off[r], lname);
+      p[lname] = 0;
+      p += lname + 1;
+      const int32_t* co = cops + cig_off[r];
+      const int32_t* cl = clens + cig_off[r];
+      for (int32_t k = 0; k < nc; k++) {
+        uint32_t v = ((uint32_t)cl[k] << 4) | (uint32_t)(co[k] & 0xF);
+        std::memcpy(p + 4 * k, &v, 4);
+      }
+      p += 4 * (int64_t)nc;
+      const uint8_t* sp = seq + seq_off[r];
+      if (seq_mode == 1) {
+        for (int32_t k = 0; k + 1 < lseq; k += 2)
+          p[k / 2] = (uint8_t)((CODE_NIB[sp[k]] << 4) | CODE_NIB[sp[k + 1]]);
+        if (lseq & 1) p[(lseq - 1) / 2] = (uint8_t)(CODE_NIB[sp[lseq - 1]] << 4);
+      } else {
+        for (int32_t k = 0; k + 1 < lseq; k += 2)
+          p[k / 2] = (uint8_t)((SEQ_NIB[sp[k]] << 4) | SEQ_NIB[sp[k + 1]]);
+        if (lseq & 1) p[(lseq - 1) / 2] = (uint8_t)(SEQ_NIB[sp[lseq - 1]] << 4);
+      }
+      p += (lseq + 1) / 2;
+      const uint8_t* qp = qual + seq_off[r];
+      if (qstar) {
+        std::memset(p, 0xff, lseq);
+      } else if (qual_mode == 0) {
+        for (int32_t k = 0; k < lseq; k++) p[k] = (uint8_t)(qp[k] - 33);
+      } else {
+        std::memcpy(p, qp, lseq);
+      }
+      p += lseq;
+      if (tag_len[r] > 0) std::memcpy(p, tags + tag_off[r], tag_len[r]);
+    }
+  };
+  if (nthreads <= 1 || N < 4096) {
+    encode_range(0, N);
+    return;
+  }
+  std::vector<std::thread> ts;
+  int64_t per = (N + nthreads - 1) / nthreads;
+  for (int t = 0; t < nthreads; t++) {
+    int64_t i0 = t * per, i1 = std::min(N, i0 + per);
+    if (i0 >= i1) break;
+    ts.emplace_back(encode_range, i0, i1);
+  }
+  for (auto& t : ts) t.join();
+}
+
+static inline uint64_t mix64(uint64_t h);
+
+// 64-bit content hash per name span (FNV-1a + splitmix finalizer); used to
+// group records by query name without materializing strings.
+void fg_hash_spans(const uint8_t* blob, const int64_t* offs,
+                   const int32_t* lens, int64_t N, uint64_t* out) {
+  for (int64_t i = 0; i < N; i++) {
+    const uint8_t* p = blob + offs[i];
+    uint64_t h = 0xcbf29ce484222325ULL;
+    for (int32_t k = 0; k < lens[i]; k++) {
+      h ^= p[k];
+      h *= 0x100000001b3ULL;
+    }
+    out[i] = mix64(h);
+  }
 }
 
 // ---------------------------------------------------------------------------
