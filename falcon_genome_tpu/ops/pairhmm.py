@@ -79,20 +79,35 @@ def _shift_down(x: jnp.ndarray, fill_row: jnp.ndarray) -> jnp.ndarray:
 def _pairhmm_kernel(read_ref, perr_ref, pins_ref, pdel_ref, pcont_ref,
                     rlen_ref, hap_ref, hlen_ref,
                     acc_ref, shift_ref,
-                    m1_ref, d1_ref, is1_ref,
-                    msa_ref, msb_ref, idsa_ref, idsb_ref,
+                    m1_ref, d1_ref, w_ref,
+                    va_ref, vb_ref,
                     hapd_ref, bound_ref, acc2d_ref):
-    """Unroll-by-2 wavefront with ping-pong shifted state.
+    """Unroll-by-2 wavefront with constant-folded pre-shifted state.
 
-    Instead of rotating six (d-1)/(d-2) state arrays every diagonal, the
-    kernel stores each generation's *pre-shifted* derived arrays —
-    MS = shift_down(M) and IDS = shift_down(I + D, boundary) — in two
-    alternating slots (a/b), and keeps only the newest generation's raw M,
-    D and shifted I.  One unrolled iteration advances two diagonals; the
-    slot holding generation d-2 is dead after the first sub-step and is
-    overwritten in place, so there are NO rotation copies, and the per-
-    diagonal shift count drops from 6 (5 state + hap) to 4
-    (hap, M, I, I+D).
+    The per-row transition constants are folded into the state *before*
+    the cross-sublane shift, so one shifted array serves a whole
+    recurrence:
+
+      V_{d+2} = shift_down(M_d·a_mm↑ + (I_d+D_d)·a_im↑, bound·a_im[0])
+      W_{d+1} = shift_down(M_d·p_ins↑ + I_d·p_cont↑, 0)
+
+    where c↑[r] = c[r+1] are the row constants pre-shifted once at kernel
+    start.  Then generation d is simply
+
+      M_d = prior_d ⊙ V_d          I_d = W_d          (both precomputed)
+      D_d = M_{d-1}·p_del + D_{d-1}·p_cont            (same-row, no shift)
+
+    — 3 cross-sublane shifts per diagonal (hap, V, W) instead of 4
+    (hap, M, I, I+D), and the I recurrence at the point of use is free.
+    V_d is read only at generation d and V_{d+2} is produced at
+    generation d, so the two V slots ping-pong with in-place overwrite
+    (no rotation copies); W needs a single slot (read-then-overwrite).
+
+    There is NO live/"cell started" mask: starting at d = 2, cells at
+    j <= 0 stay exactly zero by induction (the only nonzero fill is the
+    V boundary row, and row 0 of generation d is cell (1, d-1) with
+    d-1 >= 1 — a real cell whose M/I/D recurrences reference only the
+    DP boundary row, which the fills encode exactly).
     """
     R = read_ref.shape[0]
     H = hap_ref.shape[0]
@@ -108,6 +123,15 @@ def _pairhmm_kernel(read_ref, perr_ref, pins_ref, pdel_ref, pcont_ref,
     p_err = perr_ref[:]
     prior_match = 1.0 - p_err
     prior_mismatch = p_err * (1.0 / 3.0)
+    zrow = jnp.zeros((1, B), f32)
+    # row constants shifted up one row: c_up[r] = c[r+1] (last row value is
+    # discarded by the subsequent shift_down, 0 keeps pads inert)
+    shift_up = lambda c: jnp.concatenate([c[1:, :], zrow], axis=0)  # noqa: E731
+    a_mm_up = shift_up(a_mm)
+    a_im_up = shift_up(a_im)
+    p_ins_up = shift_up(p_ins)
+    p_cont_up = shift_up(p_cont)
+    a_im0 = a_im[0:1, :]                           # (1, B) boundary weight
 
     read_codes = read_ref[:]                       # (R, B) int32
     read_is_n = read_codes >= 4
@@ -118,15 +142,15 @@ def _pairhmm_kernel(read_ref, perr_ref, pins_ref, pdel_ref, pcont_ref,
     rvec = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)  # row index r
     # final-row mask is static per pair: row r contributes iff r+1 == rlen
     rowmask = (rvec + 1 == rlen).astype(f32)
+    # at the final row, hap position j = d - rlen is in range iff
+    # d <= rlen + hlen — a per-pair scalar threshold (no per-diagonal iota)
+    rh_sum = rlen + hlen                           # (1, B) int32
 
     # ---- initial state -----------------------------------------------------
     zero = jnp.zeros((R, B), f32)
-    zrow = jnp.zeros((1, B), f32)
     m1_ref[:] = zero
     d1_ref[:] = zero
-    is1_ref[:] = zero
-    msa_ref[:] = zero
-    msb_ref[:] = zero
+    w_ref[:] = zero
     hapd_ref[:] = jnp.zeros((R, B), jnp.int32)
     acc2d_ref[:] = zero
     shift_ref[:] = zrow
@@ -134,23 +158,17 @@ def _pairhmm_kernel(read_ref, perr_ref, pins_ref, pdel_ref, pcont_ref,
     ic = f32(2.0) ** 120
     bound0 = ic / jnp.maximum(hlen_f, 1.0)         # D[0][j] = IC / hap_len
     bound_ref[:] = bound0
-    # IDS of generations -1 and 0: I = D = 0 everywhere, boundary fill
-    # entering at row 0 (represents D[0][j-1] feeding cell (1, j))
-    ids0 = jnp.concatenate([bound0, zero[:-1, :]], axis=0)
-    idsa_ref[:] = ids0
-    idsb_ref[:] = ids0
+    # V of generations 2 and 3: generations 0/1 state is zero, so only the
+    # boundary fill survives — row 0 carries D[0][j-1]·a_im[0] feeding
+    # cell (1, j)
+    v0 = jnp.concatenate([bound0 * a_im0, zero[:-1, :]], axis=0)
+    va_ref[:] = v0
+    vb_ref[:] = v0
 
-    def substep(d, x_ms_ref, x_ids_ref, y_ms_ref):
-        """Advance diagonal d (d ≥ 2).  x_* holds generation d-2 (shifted);
-        y_ms holds generation d-1's shifted M; m1/d1/is1 hold generation
-        d-1.  Writes generation d into m1/d1/is1 and its shifted forms into
-        x_* (whose prior contents are dead after this sub-step).
-
-        There is NO live/"cell started" mask: starting at d = 2, cells at
-        j <= 0 stay exactly zero by induction (the only nonzero fill is the
-        IDS boundary row, and row 0 of generation d is cell (1, d-1) with
-        d-1 >= 1 — a real cell whose M/I/D recurrences reference only the
-        DP boundary row, which the fills encode exactly)."""
+    def substep(d, v_ref):
+        """Advance diagonal d (d ≥ 2).  v_ref holds V_d (dead after this
+        sub-step, overwritten with V_{d+2}); w holds W_d = I_d; m1/d1 hold
+        generation d-1."""
         new_hap_row = hap_ref[pl.ds(jnp.clip(d - 2, 0, H - 1), 1), :]
         hapd = _shift_down(hapd_ref[:], new_hap_row)
         hapd_ref[:] = hapd
@@ -160,50 +178,47 @@ def _pairhmm_kernel(read_ref, perr_ref, pins_ref, pdel_ref, pcont_ref,
             read_codes == hapd, jnp.logical_or(read_is_n, hapd >= 4))
         prior = jnp.where(match, prior_match, prior_mismatch)
 
-        m_new = prior * (x_ms_ref[:] * a_mm + x_ids_ref[:] * a_im)
-        i_new = y_ms_ref[:] * p_ins + is1_ref[:] * p_cont
+        i_new = w_ref[:]                            # I_d, precomputed
+        m_new = prior * v_ref[:]                    # M_d
         d_new = m1_ref[:] * p_del + d1_ref[:] * p_cont
 
         # accumulate final-row mass into a 2D accumulator (single
         # cross-sublane reduction at the end, not one per step)
-        jvec = d - rvec - 1                        # hap position j at row r
-        amask = rowmask * (jvec <= hlen).astype(f32)
+        amask = rowmask * (d <= rh_sum).astype(f32)
         acc2d_ref[:] = acc2d_ref[:] + (m_new + i_new) * amask
 
-        x_ms_ref[:] = _shift_down(m_new, zrow)
-        x_ids_ref[:] = _shift_down(i_new + d_new, bound_ref[:])
+        v_ref[:] = _shift_down(
+            m_new * a_mm_up + (i_new + d_new) * a_im_up,
+            bound_ref[:] * a_im0)
+        w_ref[:] = _shift_down(m_new * p_ins_up + i_new * p_cont_up, zrow)
         m1_ref[:] = m_new
         d1_ref[:] = d_new
-        is1_ref[:] = _shift_down(i_new, zrow)
 
     def step(k, carry):
         d = 2 * k + 2
-        substep(d, msa_ref, idsa_ref, msb_ref)
-        substep(d + 1, msb_ref, idsb_ref, msa_ref)
+        substep(d, va_ref)
+        substep(d + 1, vb_ref)
 
         # periodic exact rescale of pairs whose state is vanishing
         @pl.when((d + 2) % RESCALE_EVERY == 0)
         def _():
             m = jnp.maximum(
-                jnp.max(jnp.abs(m1_ref[:]) + jnp.abs(is1_ref[:])
+                jnp.max(jnp.abs(m1_ref[:]) + jnp.abs(w_ref[:])
                         + jnp.abs(d1_ref[:]), axis=0, keepdims=True),
-                jnp.max(jnp.abs(msa_ref[:]) + jnp.abs(msb_ref[:]),
+                jnp.max(jnp.abs(va_ref[:]) + jnp.abs(vb_ref[:]),
                         axis=0, keepdims=True))
             need = jnp.logical_and(m > 0.0, m < RESCALE_THRESH)
             scale = jnp.where(need, f32(RESCALE_FACTOR), f32(1.0))
             m1_ref[:] = m1_ref[:] * scale
             d1_ref[:] = d1_ref[:] * scale
-            is1_ref[:] = is1_ref[:] * scale
-            msa_ref[:] = msa_ref[:] * scale
-            msb_ref[:] = msb_ref[:] * scale
-            idsa_ref[:] = idsa_ref[:] * scale
-            idsb_ref[:] = idsb_ref[:] * scale
+            w_ref[:] = w_ref[:] * scale
+            va_ref[:] = va_ref[:] * scale
+            vb_ref[:] = vb_ref[:] * scale
             acc2d_ref[:] = acc2d_ref[:] * scale
             shift_ref[:] = shift_ref[:] + jnp.where(
                 need, f32(RESCALE_SHIFT_LOG10), f32(0.0))
-            # the boundary feeds row 0 on every diagonal (directly, and
-            # embedded in each generation's IDS fill row); keep it on the
-            # same scale as the state
+            # the boundary feeds row 0 on every diagonal (via each V's fill
+            # row); keep it on the same scale as the state
             bound_ref[:] = bound_ref[:] * scale
 
         return carry
@@ -257,13 +272,11 @@ def _pairhmm_device(read_codes, base_q, ins_q, del_q, gcp, read_lens,
             jax.ShapeDtypeStruct((1, B), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((R, L), jnp.float32),  # m1   (M, newest gen)
-            pltpu.VMEM((R, L), jnp.float32),  # d1   (D, newest gen)
-            pltpu.VMEM((R, L), jnp.float32),  # is1  (shifted I, newest)
-            pltpu.VMEM((R, L), jnp.float32),  # msa  (shifted M, slot a)
-            pltpu.VMEM((R, L), jnp.float32),  # msb  (shifted M, slot b)
-            pltpu.VMEM((R, L), jnp.float32),  # idsa (shifted I+D, a)
-            pltpu.VMEM((R, L), jnp.float32),  # idsb (shifted I+D, b)
+            pltpu.VMEM((R, L), jnp.float32),  # m1  (M, newest gen)
+            pltpu.VMEM((R, L), jnp.float32),  # d1  (D, newest gen)
+            pltpu.VMEM((R, L), jnp.float32),  # w   (W_{d+1} = I_{d+1})
+            pltpu.VMEM((R, L), jnp.float32),  # va  (V slot a, even diags)
+            pltpu.VMEM((R, L), jnp.float32),  # vb  (V slot b, odd diags)
             pltpu.VMEM((R, L), jnp.int32),    # hap diagonal
             pltpu.VMEM((1, L), jnp.float32),  # D row-0 boundary
             pltpu.VMEM((R, L), jnp.float32),  # 2D final-row accumulator
