@@ -182,11 +182,44 @@ def _histogram_device(rg, qual, cycle, context, is_error, weight, *, nrg):
 
 def accumulate_table(cov: dict[str, np.ndarray],
                      read_groups: list[str]) -> RecalTable:
-    """Scatter-add the covariate arrays into a RecalTable on device."""
+    """Scatter-add the covariate arrays into a RecalTable on device.
+
+    Under an active mesh the histogram shards over the fused (data,
+    region) axis with a psum reduction — the gather step as an ICI
+    AllReduce (the reference's BQSRGatherWorker table merge).
+    """
+    from .parallel.mesh import get_active_mesh
+
     nrg = max(1, len(read_groups))
     n = len(cov["rg"])
     if n == 0:
         return RecalTable.zeros(read_groups or ["default"])
+    mesh = get_active_mesh()
+    if mesh is not None and mesh.size > 1:
+        from .parallel.sharded import sharded_bqsr_histogram
+        npad = ((n + mesh.size - 1) // mesh.size) * mesh.size
+
+        def pad(a, dtype):
+            out = np.zeros(npad, dtype)
+            out[:n] = a
+            return jnp.asarray(out)
+
+        weight = np.zeros(npad, np.float32)
+        weight[:n] = 1.0
+        cyc_obs, cyc_err, ctx_obs, ctx_err = sharded_bqsr_histogram(
+            mesh, nrg)(
+            pad(cov["rg"], np.int32), pad(cov["qual"], np.int32),
+            pad(cov["cycle"], np.int32), pad(cov["context"], np.int32),
+            pad(cov["is_error"], np.float32), jnp.asarray(weight))
+        cyc_obs = np.asarray(cyc_obs, np.float64)
+        cyc_err = np.asarray(cyc_err, np.float64)
+        # qual-level tables are exact cycle-table marginals (every eligible
+        # base lands in exactly one cycle bin)
+        return RecalTable(read_groups or ["default"],
+                          cyc_obs.sum(axis=2), cyc_err.sum(axis=2),
+                          cyc_obs, cyc_err,
+                          np.asarray(ctx_obs, np.float64),
+                          np.asarray(ctx_err, np.float64))
     out = _histogram_device(
         jnp.asarray(cov["rg"]), jnp.asarray(cov["qual"]),
         jnp.asarray(cov["cycle"]), jnp.asarray(cov["context"]),

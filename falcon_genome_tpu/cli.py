@@ -148,6 +148,14 @@ def build_parser() -> argparse.ArgumentParser:
     return ap
 
 
+# commands whose hot path dispatches device kernels: these bring up the
+# (possibly multi-process) device mesh before running (the reference's
+# scale-out bring-up — mpirun/ssh wrapping in Executor/BWAWorker — happens
+# per-command too)
+DEVICE_COMMANDS = {"align", "baserecal", "printreads", "bqsr", "htc",
+                   "mutect2", "indel", "ug", "germline", "gatk"}
+
+
 def dispatch(args: argparse.Namespace, conf) -> None:
     from . import stages
 
@@ -158,6 +166,9 @@ def dispatch(args: argparse.Namespace, conf) -> None:
         conf.set(k, v)
 
     cmd = args.command
+    if cmd in DEVICE_COMMANDS:
+        from .parallel.mesh import initialize_from_conf
+        initialize_from_conf(conf)
     if cmd == "align":
         stages.run_align(conf, args.ref, args.output,
                          fastq1=args.fastq1, fastq2=args.fastq2,

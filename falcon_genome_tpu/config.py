@@ -158,6 +158,12 @@ def build_option_table() -> dict[str, Option]:
         # ---- TPU engine (new; no reference analog) --------------------------
         O("tpu.mesh.data", int, -1, "data-parallel mesh axis size (-1 = all devices)"),
         O("tpu.mesh.region", int, 1, "region-parallel mesh axis size"),
+        O("tpu.dist.num_processes", int, 0,
+          "multi-host process count (0/1 = single process)", env_ok=True),
+        O("tpu.dist.process_id", int, 0,
+          "this process's rank in the multi-host job", env_ok=True),
+        O("tpu.dist.coordinator", str, "",
+          "coordinator address host:port for jax.distributed", env_ok=True),
         O("tpu.batch.reads", int, 4096, "reads per device batch"),
         O("tpu.bam.stream_mb", int, 256,
           "BAMs larger than this stream per-shard via .bai instead of "

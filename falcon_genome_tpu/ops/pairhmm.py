@@ -372,6 +372,50 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+# ---------------------------------------------------------------------------
+# mesh-sharded dispatch: the SAME kernel (Pallas on TPU, portable scan on
+# CPU) under shard_map over the pipeline's (data, region) mesh — multi-chip
+# as a property of every caller stage, not a sidecar (the reference runs
+# its whole pipeline under mpirun/ssh scale-out, BWAWorker.cpp:97-130)
+# ---------------------------------------------------------------------------
+
+_SHARDED_CACHE: dict = {}
+
+
+def _local_pairhmm(read_t, baseq_t, insq_t, delq_t, gcp_t, rlen_t, hlen_t,
+                   hap_t, *, R: int, H: int, params: PairHMMParams):
+    """Per-device kernel body (time-major (rows, B_local) arrays)."""
+    if params.backend == "jax":
+        return _pairhmm_jax(read_t, baseq_t, insq_t, delq_t, gcp_t,
+                            rlen_t, hlen_t, hap_t, R=R, H=H)
+    logp, _ = _pairhmm_device(read_t, baseq_t, insq_t, delq_t, gcp_t,
+                              rlen_t, hap_t, hlen_t, params=params)
+    return logp
+
+
+def _pairhmm_sharded(mesh, params: PairHMMParams, R: int, H: int):
+    """Jit the local kernel under shard_map; batch lanes shard over the
+    full fused mesh (every chip scores an independent pair slice)."""
+    key = (mesh, params, R, H)
+    fn = _SHARDED_CACHE.get(key)
+    if fn is not None:
+        return fn
+    from jax.sharding import PartitionSpec as P
+    axes = tuple(mesh.axis_names)
+    spec = P(None, axes)
+
+    def local(read_t, baseq_t, insq_t, delq_t, gcp_t, rlen_t, hlen_t,
+              hap_t):
+        return _local_pairhmm(read_t, baseq_t, insq_t, delq_t, gcp_t,
+                              rlen_t, hlen_t, hap_t, R=R, H=H,
+                              params=params)
+
+    fn = jax.jit(jax.shard_map(
+        local, mesh=mesh, in_specs=(spec,) * 8, out_specs=P(axes), check_vma=False))
+    _SHARDED_CACHE[key] = fn
+    return fn
+
+
 def pairhmm_logp(read_codes, base_q, ins_q, del_q, gcp, read_lens,
                  hap_codes, hap_lens,
                  params: PairHMMParams | None = None) -> jnp.ndarray:
@@ -405,8 +449,12 @@ def pairhmm_logp(read_codes, base_q, ins_q, del_q, gcp, read_lens,
         raise ValueError(f"hap bucket {Hin} exceeds {params.max_hap_len}")
     R = params.max_read_len
     H = params.max_hap_len
-    # power-of-two lane bucket: bounds compile variants to ~log2 shapes
-    Bp = params.lanes if params.backend != "jax" else LANES
+    from ..parallel.mesh import get_active_mesh
+    mesh = get_active_mesh()
+    nmesh = mesh.size if mesh is not None else 1
+    # power-of-two lane bucket: bounds compile variants to ~log2 shapes;
+    # under a mesh the unit is lanes × devices (each shard a full block)
+    Bp = (params.lanes if params.backend != "jax" else LANES) * nmesh
     while Bp < B:
         Bp *= 2
 
@@ -431,7 +479,11 @@ def pairhmm_logp(read_codes, base_q, ins_q, del_q, gcp, read_lens,
     rlen_t = pad1(read_lens, 1)
     hlen_t = pad1(hap_lens, 1)
 
-    if params.backend == "jax":
+    if mesh is not None:
+        logp = _pairhmm_sharded(mesh, params, R, H)(
+            jnp.asarray(read_t), baseq_t, insq_t, delq_t, gcp_t,
+            jnp.asarray(rlen_t), jnp.asarray(hlen_t), jnp.asarray(hap_t))
+    elif params.backend == "jax":
         logp = _pairhmm_jax(
             jnp.asarray(read_t), baseq_t, insq_t, delq_t, gcp_t,
             jnp.asarray(rlen_t), jnp.asarray(hlen_t), jnp.asarray(hap_t),

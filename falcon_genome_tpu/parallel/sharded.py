@@ -14,98 +14,103 @@ over a (data, region) mesh.  Sharding layout:
 """
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..bqsr import MAX_CYCLE, MAX_QUAL, N_CONTEXT
-from ..ops.pairhmm import _pairhmm_jax
+from ..ops.pairhmm import PairHMMParams, _local_pairhmm
 
 
-def _pairhmm_math(read_codes, base_q, ins_q, del_q, gcp, rlen, hlen,
-                  hap_codes, R: int, H: int):
-    """Backend-portable pairhmm on time-major int arrays (phred quals)."""
-    return _pairhmm_jax(read_codes, base_q, ins_q, del_q, gcp,
-                        rlen, hlen, hap_codes, R=R, H=H)
+def _default_params(R: int, H: int) -> PairHMMParams:
+    """The real per-device kernel: Pallas on TPU, portable scan on CPU."""
+    return PairHMMParams(
+        max_read_len=R, max_hap_len=H,
+        backend="pallas" if jax.default_backend() == "tpu" else "jax")
 
 
-def sharded_pairhmm_step(mesh: Mesh, R: int, H: int):
-    """Compile a pairhmm step over the mesh; batch sharded on both axes."""
-    batch_spec = P(None, ("data", "region"))  # (rows, B) — shard lanes
+def sharded_pairhmm_step(mesh: Mesh, R: int, H: int,
+                         params: PairHMMParams | None = None):
+    """The production kernel under shard_map; batch lanes shard over the
+    fused (data, region) mesh.  Per-device work is the SAME Pallas kernel
+    the single-chip path runs (ops/pairhmm.py), not a portable stand-in."""
+    params = params or _default_params(R, H)
+    spec = P(None, ("data", "region"))  # (rows, B) — shard lanes
 
-    @functools.partial(
-        jax.jit,
-        in_shardings=(NamedSharding(mesh, batch_spec),) * 7
-        + (NamedSharding(mesh, batch_spec),),
-        out_shardings=NamedSharding(mesh, P(("data", "region"))),
-    )
-    def step(read_codes, base_q, ins_q, del_q, gcp, rlen, hlen, hap_codes):
-        return _pairhmm_math(read_codes, base_q, ins_q, del_q, gcp,
-                             rlen, hlen, hap_codes, R, H)
+    def local(read_codes, base_q, ins_q, del_q, gcp, rlen, hlen, hap_codes):
+        return _local_pairhmm(read_codes, base_q, ins_q, del_q, gcp,
+                              rlen, hlen, hap_codes, R=R, H=H,
+                              params=params)
 
-    return step
+    return jax.jit(jax.shard_map(
+        local, mesh=mesh, in_specs=(spec,) * 8,
+        out_specs=P(("data", "region")), check_vma=False))
+
+
+def _histogram_local(rg, qual, cycle, context, is_error, weight, nrg):
+    """Scatter-add covariate histograms for one device's slice."""
+    flat = (rg * MAX_QUAL + qual) * MAX_CYCLE + cycle
+    obs = jnp.zeros(nrg * MAX_QUAL * MAX_CYCLE).at[flat].add(weight)
+    err = jnp.zeros(nrg * MAX_QUAL * MAX_CYCLE).at[flat].add(
+        weight * is_error)
+    ctx_flat = (rg * MAX_QUAL + qual) * N_CONTEXT + context
+    ctx_obs = jnp.zeros(nrg * MAX_QUAL * N_CONTEXT).at[ctx_flat].add(weight)
+    ctx_err = jnp.zeros(nrg * MAX_QUAL * N_CONTEXT).at[ctx_flat].add(
+        weight * is_error)
+    return (obs.reshape(nrg, MAX_QUAL, MAX_CYCLE),
+            err.reshape(nrg, MAX_QUAL, MAX_CYCLE),
+            ctx_obs.reshape(nrg, MAX_QUAL, N_CONTEXT),
+            ctx_err.reshape(nrg, MAX_QUAL, N_CONTEXT))
 
 
 def sharded_bqsr_histogram(mesh: Mesh, nrg: int = 1):
-    """Compile the BQSR covariate histogram with a cross-chip reduction.
+    """BQSR covariate histogram with a cross-chip psum reduction.
 
     Inputs are flat covariate arrays sharded on the fused (data, region)
-    axis; the output table is replicated (an AllReduce over ICI — the
-    TPU-native BQSRGatherWorker).
+    axis plus a per-element weight (0 for padding); the output tables are
+    replicated — an AllReduce over ICI, the TPU-native BQSRGatherWorker
+    (src/workers/BQSRWorker.cpp:111-150).
     """
     flat_spec = P(("data", "region"))
 
-    @functools.partial(
-        jax.jit,
-        in_shardings=(NamedSharding(mesh, flat_spec),) * 5,
-        out_shardings=NamedSharding(mesh, P()),  # replicated → AllReduce
-    )
-    def step(rg, qual, cycle, context, is_error):
-        flat = (rg * MAX_QUAL + qual) * MAX_CYCLE + cycle
-        obs = jnp.zeros(nrg * MAX_QUAL * MAX_CYCLE).at[flat].add(1.0)
-        err = jnp.zeros(nrg * MAX_QUAL * MAX_CYCLE).at[flat].add(is_error)
-        ctx_flat = (rg * MAX_QUAL + qual) * N_CONTEXT + context
-        ctx_obs = jnp.zeros(nrg * MAX_QUAL * N_CONTEXT).at[ctx_flat].add(1.0)
-        return (obs.reshape(nrg, MAX_QUAL, MAX_CYCLE),
-                err.reshape(nrg, MAX_QUAL, MAX_CYCLE),
-                ctx_obs.reshape(nrg, MAX_QUAL, N_CONTEXT))
+    def local(rg, qual, cycle, context, is_error, weight):
+        tables = _histogram_local(rg, qual, cycle, context, is_error,
+                                  weight, nrg)
+        return tuple(jax.lax.psum(t, ("data", "region")) for t in tables)
 
-    return step
+    return jax.jit(jax.shard_map(
+        local, mesh=mesh, in_specs=(flat_spec,) * 6,
+        out_specs=(P(), P(), P(), P()), check_vma=False))
 
 
-def germline_train_step(mesh: Mesh, R: int, H: int, nrg: int = 1):
+def germline_train_step(mesh: Mesh, R: int, H: int, nrg: int = 1,
+                        params: PairHMMParams | None = None):
     """The full multi-chip device step of the germline pipeline:
 
-    sharded PairHMM likelihoods + genotype-likelihood reduction per region
-    + replicated BQSR histogram — one jitted function over the mesh,
-    exercising both the sharded compute path and the ICI collectives.
+    sharded PairHMM likelihoods (the production kernel) + replicated BQSR
+    histogram — one jitted shard_map over the mesh, exercising both the
+    sharded compute path and the ICI collectives.
     """
+    params = params or _default_params(R, H)
     batch_spec = P(None, ("data", "region"))
     flat_spec = P(("data", "region"))
 
-    @functools.partial(
-        jax.jit,
-        in_shardings=(
-            (NamedSharding(mesh, batch_spec),) * 8
-            + (NamedSharding(mesh, flat_spec),) * 5
-        ),
-        out_shardings=(
-            NamedSharding(mesh, P(("data", "region"))),  # per-pair logp
-            NamedSharding(mesh, P()),                    # global hist
-        ),
-    )
-    def step(read_codes, base_q, ins_q, del_q, gcp, rlen, hlen, hap_codes,
-             rg, qual, cycle, context, is_error):
-        logp = _pairhmm_math(read_codes, base_q, ins_q, del_q, gcp,
-                             rlen, hlen, hap_codes, R, H)
+    def local(read_codes, base_q, ins_q, del_q, gcp, rlen, hlen, hap_codes,
+              rg, qual, cycle, context, is_error):
+        logp = _local_pairhmm(read_codes, base_q, ins_q, del_q, gcp,
+                              rlen, hlen, hap_codes, R=R, H=H,
+                              params=params)
         flat = (rg * MAX_QUAL + qual) * MAX_CYCLE + cycle
         obs = jnp.zeros(nrg * MAX_QUAL * MAX_CYCLE).at[flat].add(1.0)
-        return logp, obs.reshape(nrg, MAX_QUAL, MAX_CYCLE)
+        hist = jax.lax.psum(obs.reshape(nrg, MAX_QUAL, MAX_CYCLE),
+                            ("data", "region"))
+        return logp, hist
 
-    return step
+    return jax.jit(jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(batch_spec,) * 8 + (flat_spec,) * 5,
+        out_specs=(P(("data", "region")), P()), check_vma=False))
 
 
 def make_example_batch(B: int, R: int, H: int, n_cov: int, seed: int = 0):
@@ -150,7 +155,7 @@ def distributed_sort_step(mesh: Mesh, n_local: int, axis_name: str = "data",
     per-device valid count, and a per-device overflow flag (a bucket
     exceeding ``capacity_factor×`` the average shard: retry bigger).
     """
-    from jax.experimental.shard_map import shard_map
+    shard_map = jax.shard_map
 
     nd = mesh.shape[axis_name]
     C = int(np.ceil(n_local / nd * capacity_factor))

@@ -35,11 +35,11 @@ class TestShardedSteps:
         args = make_example_batch(B, R, H, n_cov=8)[:8]
         step = sharded_pairhmm_step(mesh, R, H)
         sharded = np.asarray(step(*args))
-        from falcon_genome_tpu.parallel.sharded import _pairhmm_math
         import jax.numpy as jnp
-        local = np.asarray(_pairhmm_math(
+        from falcon_genome_tpu.ops.pairhmm import _pairhmm_jax
+        local = np.asarray(_pairhmm_jax(
             *[jnp.asarray(a) for a in args[:7]], jnp.asarray(args[7]),
-            R, H))
+            R=R, H=H))
         np.testing.assert_allclose(sharded, local, atol=1e-5)
 
     def test_bqsr_histogram_reduction(self, devices):
@@ -51,11 +51,13 @@ class TestShardedSteps:
         cyc = rng.integers(0, 100, n).astype(np.int32)
         ctx = rng.integers(0, 16, n).astype(np.int32)
         err = (rng.random(n) < 0.1).astype(np.float32)
+        weight = np.ones(n, np.float32)
         step = sharded_bqsr_histogram(mesh)
-        obs, errs, ctx_obs = step(rg, qual, cyc, ctx, err)
+        obs, errs, ctx_obs, ctx_err = step(rg, qual, cyc, ctx, err, weight)
         assert float(np.asarray(obs).sum()) == n
         assert float(np.asarray(errs).sum()) == err.sum()
         assert float(np.asarray(ctx_obs).sum()) == n
+        assert float(np.asarray(ctx_err).sum()) == err.sum()
 
     def test_germline_train_step(self, devices):
         mesh = make_mesh(MeshSpec(data=4, region=2), devices)
@@ -67,6 +69,89 @@ class TestShardedSteps:
         assert logp.shape == (B,)
         assert np.isfinite(np.asarray(logp)).all()
         assert float(np.asarray(hist).sum()) == n_cov
+
+
+class TestActiveMeshPipeline:
+    """The mesh as a pipeline property: stage compute dispatches through
+    parallel.mesh.get_active_mesh() (VERDICT round-1 item 1)."""
+
+    def test_pairhmm_logp_mesh_equivalence(self, devices, rng):
+        from falcon_genome_tpu.ops.pairhmm import pairhmm_logp
+        from falcon_genome_tpu.parallel.mesh import use_mesh
+        mesh = make_mesh(MeshSpec(data=4, region=2), devices)
+        B, R, H = 37, 24, 48
+        reads = rng.integers(0, 4, (B, R)).astype(np.uint8)
+        haps = rng.integers(0, 4, (B, H)).astype(np.uint8)
+        q = np.full((B, R), 30, np.uint8)
+        gcp = np.full((B, R), 10, np.uint8)
+        rl = rng.integers(8, R + 1, B).astype(np.int32)
+        hl = rng.integers(8, H + 1, B).astype(np.int32)
+        with use_mesh(None):
+            single = np.asarray(pairhmm_logp(reads, q, q, q, gcp, rl,
+                                             haps, hl))
+        with use_mesh(mesh):
+            sharded = np.asarray(pairhmm_logp(reads, q, q, q, gcp, rl,
+                                              haps, hl))
+        np.testing.assert_allclose(sharded, single, atol=1e-5)
+
+    def test_htc_call_interval_mesh_equivalence(self, devices):
+        import sys
+        from pathlib import Path
+        sys.path.insert(0, str(Path(__file__).parent.parent))
+        import __graft_entry__ as ge
+        from falcon_genome_tpu.models.haplotypecaller import (
+            HaplotypeCaller, HTCParams)
+        from falcon_genome_tpu.parallel.mesh import use_mesh
+        mesh = make_mesh(MeshSpec(data=4, region=2), devices)
+        rng = np.random.default_rng(3)
+        ref, records = ge._simulated_germline_records(rng)
+        hc = HaplotypeCaller(HTCParams())
+        with use_mesh(None):
+            single = hc.call_interval(records, ref, "chr1", 0, len(ref))
+        with use_mesh(mesh):
+            sharded = hc.call_interval(records, ref, "chr1", 0, len(ref))
+        assert len(single) >= 2
+
+        def sig(recs):
+            return [(r.pos, r.ref, tuple(r.alts),
+                     tuple(s.get("GT") for s in r.samples)) for r in recs]
+        assert sig(single) == sig(sharded)
+
+    def test_mesh_from_conf(self, devices):
+        from falcon_genome_tpu.config import Config
+        from falcon_genome_tpu.parallel.mesh import mesh_from_conf
+        conf = Config(load_files=False, environ={})
+        # default: all devices on the data axis
+        mesh = mesh_from_conf(conf, devices)
+        assert mesh is not None and mesh.size == 8
+        conf.set("tpu.mesh.data", 1)
+        conf.set("tpu.mesh.region", 1)
+        assert mesh_from_conf(conf, devices) is None
+        conf.set("tpu.mesh.data", 2)
+        conf.set("tpu.mesh.region", 2)
+        mesh = mesh_from_conf(conf, devices)
+        assert mesh.shape == {"data": 2, "region": 2}
+
+    def test_accumulate_table_mesh_equivalence(self, devices, rng):
+        from falcon_genome_tpu.bqsr import accumulate_table
+        from falcon_genome_tpu.parallel.mesh import use_mesh
+        mesh = make_mesh(MeshSpec(data=8, region=1), devices)
+        n = 801  # not divisible by 8: exercises weight padding
+        cov = {
+            "rg": np.zeros(n, np.int32),
+            "qual": rng.integers(0, 40, n).astype(np.int32),
+            "cycle": rng.integers(0, 100, n).astype(np.int32),
+            "context": rng.integers(0, 16, n).astype(np.int32),
+            "is_error": (rng.random(n) < 0.1).astype(np.float32),
+        }
+        with use_mesh(None):
+            single = accumulate_table(cov, ["rg0"])
+        with use_mesh(mesh):
+            sharded = accumulate_table(cov, ["rg0"])
+        for f in ("qual_obs", "qual_err", "cycle_obs", "cycle_err",
+                  "ctx_obs", "ctx_err"):
+            np.testing.assert_allclose(getattr(sharded, f),
+                                       getattr(single, f), atol=1e-6)
 
 
 class TestGraftEntry:
