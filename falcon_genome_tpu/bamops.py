@@ -121,6 +121,157 @@ def mark_duplicates(records: list[SamRecord]) -> tuple[list[SamRecord], int]:
 
 
 # ---------------------------------------------------------------------------
+# columnar duplicate marking (vectorized twin of mark_duplicates; the
+# round-1 per-record dict grouping was the markdup host hot loop)
+# ---------------------------------------------------------------------------
+
+def _unclipped_coords_columns(cols, sel: np.ndarray):
+    """(n,) unclipped 5' coordinate for each selected record, strand-aware.
+
+    Leading/trailing clip runs are at most two ops (H then S per SAM
+    spec), so two vectorized lookups cover them exactly.
+    """
+    from .io.columns import F_ENDPOS, F_FLAG, F_NCIGAR, F_POS
+
+    f = cols.fixed
+    ncig = f[sel, F_NCIGAR].astype(np.int64)
+    co = cols.cig_off[sel].astype(np.int64)
+    ops, lens = cols.cigar_ops, cols.cigar_lens
+
+    def clip_run(idx0, idx1, have0, have1):
+        o0 = ops[np.where(have0, idx0, 0)]
+        l0 = lens[np.where(have0, idx0, 0)].astype(np.int64)
+        c0 = have0 & ((o0 == CIGAR_S) | (o0 == CIGAR_H))
+        o1 = ops[np.where(have1, idx1, 0)]
+        l1 = lens[np.where(have1, idx1, 0)].astype(np.int64)
+        c1 = c0 & have1 & ((o1 == CIGAR_S) | (o1 == CIGAR_H))
+        return np.where(c0, l0, 0) + np.where(c1, l1, 0)
+
+    lead = clip_run(co, co + 1, ncig > 0, ncig > 1)
+    trail = clip_run(co + ncig - 1, co + ncig - 2, ncig > 0, ncig > 1)
+    rev = (f[sel, F_FLAG] & 0x10) != 0
+    pos = f[sel, F_POS].astype(np.int64)
+    end = f[sel, F_ENDPOS].astype(np.int64)
+    return np.where(rev, end + trail - 1, pos - lead), rev
+
+
+def _qual_sums_columns(cols) -> np.ndarray:
+    """(N,) per-record base-quality sums (quals ≥ 15), qstar records 0."""
+    from .io.columns import F_LSEQ, F_QSTAR, qual_phred_blob
+    q = qual_phred_blob(cols).astype(np.int64)
+    w = np.where(q >= 15, q, 0)
+    c = np.zeros(len(w) + 1, np.int64)
+    np.cumsum(w, out=c[1:])
+    soff = cols.seq_off.astype(np.int64)
+    lseq = cols.fixed[:, F_LSEQ].astype(np.int64)
+    s = c[soff + lseq] - c[soff]
+    s[cols.fixed[:, F_QSTAR] != 0] = 0
+    return s
+
+
+def mark_duplicates_columns(cols) -> tuple[object, int]:
+    """Vectorized MARKDUP on RecordColumns: sets FLAG_DUP in the flag
+    column in place; returns (cols, n newly marked).
+
+    Same criteria as :func:`mark_duplicates` (Picard keys: library-less
+    (tid, unclipped 5', strand) per mapped primary, pairs keyed by both
+    ends; best base-quality sum kept, ties by lexicographic qname).
+    """
+    from .io.columns import F_FLAG, F_LNAME
+
+    f = cols.fixed
+    n = len(cols)
+    if n == 0:
+        return cols, 0
+    # ---- name groups (hash + length + end bytes kill collisions) -------
+    h = cols.name_hashes()
+    lname = f[:, F_LNAME].astype(np.int64)
+    no = cols.name_off.astype(np.int64)
+    fb = cols.names[np.where(lname > 0, no, 0)]
+    lb = cols.names[np.where(lname > 0, no + lname - 1, 0)]
+    nk = np.stack([h.astype(np.int64), lname, fb.astype(np.int64),
+                   lb.astype(np.int64)], axis=1)
+    _, gid = np.unique(nk, axis=0, return_inverse=True)
+    gid = gid.reshape(-1)
+    ngroups = int(gid.max()) + 1
+
+    primary = (f[:, F_FLAG] & (FLAG_SECONDARY | FLAG_SUPPLEMENTARY)) == 0
+    mapped = primary & ((f[:, F_FLAG] & 0x4) == 0)
+    mp = np.flatnonzero(mapped)
+    if len(mp) == 0:
+        return cols, 0
+    ucoord, rev = _unclipped_coords_columns(cols, mp)
+    tid = f[mp, 0].astype(np.int64)
+    ekey = (((tid + 1) << np.int64(35))
+            + ((ucoord + (np.int64(1) << 31)) << np.int64(1))
+            + rev.astype(np.int64))
+
+    # per-name-group: count of mapped primaries, min/max end keys, score
+    cnt = np.zeros(ngroups, np.int64)
+    np.add.at(cnt, gid[mp], 1)
+    kmin = np.full(ngroups, np.iinfo(np.int64).max, np.int64)
+    kmax = np.full(ngroups, np.iinfo(np.int64).min, np.int64)
+    np.minimum.at(kmin, gid[mp], ekey)
+    np.maximum.at(kmax, gid[mp], ekey)
+    ksum = np.zeros(ngroups, np.int64)
+    np.add.at(ksum, gid[mp], ekey)
+    qsums = _qual_sums_columns(cols)
+    score = np.zeros(ngroups, np.int64)
+    np.add.at(score, gid[mp], qsums[mp])
+
+    live = np.flatnonzero(cnt > 0)
+    is_pair = (cnt[live] > 1).astype(np.int64)
+    k1, k2 = kmin[live], np.where(cnt[live] > 1, kmax[live], 0)
+    # groups with >2 mapped primaries (malformed multi-fragment names)
+    # key on (count, min, max, sum) — count>2 can't collide with a real
+    # pair's (1, min, max, ·)
+    k0 = np.where(cnt[live] > 2, cnt[live], is_pair)
+    k3 = np.where(cnt[live] > 2, ksum[live], 0)
+
+    order = np.lexsort((-score[live], k3, k2, k1, k0))
+    ok0, ok1, ok2, ok3 = k0[order], k1[order], k2[order], k3[order]
+    new_grp = np.ones(len(order), bool)
+    new_grp[1:] = ((ok0[1:] != ok0[:-1]) | (ok1[1:] != ok1[:-1])
+                   | (ok2[1:] != ok2[:-1]) | (ok3[1:] != ok3[:-1]))
+    dup_gids: list[int] = []
+    # first of each dup-key run is the keeper, unless a score tie needs
+    # the lexicographic-qname rule (rare: resolved with real name bytes)
+    names_blob = cols.names.tobytes()
+    first_rec_of_gid = np.full(ngroups, n, np.int64)
+    np.minimum.at(first_rec_of_gid, gid, np.arange(n))
+
+    def name_of_gid(g: int) -> bytes:
+        i = int(first_rec_of_gid[g])
+        o = int(no[i])
+        return names_blob[o:o + int(lname[i])]
+
+    run_start = np.flatnonzero(new_grp)
+    run_end = np.append(run_start[1:], len(order))
+    g_live = live[order]
+    s_live = score[live][order]
+    for a, b in zip(run_start, run_end):
+        if b - a < 2:
+            continue
+        top = s_live[a]
+        ties = [g_live[j] for j in range(a, b) if s_live[j] == top]
+        if len(ties) > 1:
+            keeper = min(ties, key=name_of_gid)
+        else:
+            keeper = g_live[a]
+        dup_gids.extend(int(g_live[j]) for j in range(a, b)
+                        if g_live[j] != keeper)
+
+    if not dup_gids:
+        return cols, 0
+    dup_mask_g = np.zeros(ngroups, bool)
+    dup_mask_g[np.asarray(dup_gids, np.int64)] = True
+    hit = dup_mask_g[gid]
+    newly = hit & ((f[:, F_FLAG] & FLAG_DUP) == 0)
+    f[:, F_FLAG] = np.where(hit, f[:, F_FLAG] | FLAG_DUP, f[:, F_FLAG])
+    return cols, int(newly.sum())
+
+
+# ---------------------------------------------------------------------------
 # merge (ref: SambambaWorker MERGE / MergeBamWorker)
 # ---------------------------------------------------------------------------
 

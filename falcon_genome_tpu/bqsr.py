@@ -154,6 +154,146 @@ def extract_covariates(records: list[SamRecord],
     }
 
 
+def _rg_array(cols, idx: np.ndarray,
+              rg_index: dict[str, int] | None) -> np.ndarray:
+    """Per-record read-group index for the records in ``idx``."""
+    from .io.columns import tag_string_values
+    if not rg_index or len(rg_index) <= 1:
+        return np.zeros(len(idx), np.int32)
+    vals = tag_string_values(cols, b"RG", idx=idx)
+    return np.asarray([rg_index.get(v or "", 0) for v in vals], np.int32)
+
+
+def extract_covariates_columns(cols,
+                               ref_codes_by_tid: dict[int, np.ndarray],
+                               known_sites: set[tuple[int, int]] | None = None,
+                               rg_index: dict[str, int] | None = None
+                               ) -> dict[str, np.ndarray]:
+    """Vectorized twin of :func:`extract_covariates` on RecordColumns.
+
+    The per-base Python CIGAR walk (the round-1 host hot loop) becomes
+    numpy repeats + blob gathers; same eligibility rules, same outputs.
+    """
+    from .io.columns import (
+        F_FLAG, F_LSEQ, F_QSTAR, F_TID, expand_match_bases, qual_phred_blob,
+        seq_codes_blob)
+
+    f = cols.fixed
+    if not ref_codes_by_tid:
+        return {k: np.zeros(0, np.int32) for k in
+                ("rg", "qual", "cycle", "context")} | {
+                    "is_error": np.zeros(0, np.float32)}
+    max_tid = max(ref_codes_by_tid)
+    tid_ok = np.zeros(max_tid + 2, bool)
+    tid_len = np.zeros(max_tid + 2, np.int64)
+    tid_off = np.zeros(max_tid + 2, np.int64)
+    refcat_parts = []
+    off = 0
+    for t in sorted(ref_codes_by_tid):
+        tid_ok[t] = True
+        tid_len[t] = len(ref_codes_by_tid[t])
+        tid_off[t] = off
+        off += tid_len[t]
+        refcat_parts.append(ref_codes_by_tid[t])
+    refcat = (np.concatenate(refcat_parts) if refcat_parts
+              else np.zeros(0, np.uint8))
+
+    tid = f[:, F_TID]
+    sel = np.flatnonzero(
+        ((f[:, F_FLAG] & 0xD04) == 0)       # unmapped|dup|secondary|supp
+        & (f[:, F_LSEQ] > 0) & (f[:, F_QSTAR] == 0)
+        & (tid >= 0) & (tid <= max_tid) & tid_ok[np.clip(tid, 0, max_tid)])
+    if len(sel) == 0:
+        return {k: np.zeros(0, np.int32) for k in
+                ("rg", "qual", "cycle", "context")} | {
+                    "is_error": np.zeros(0, np.float32)}
+
+    rec, qpos, rpos = expand_match_bases(cols, sel)
+    codes = seq_codes_blob(cols)
+    phred = qual_phred_blob(cols)
+    soff = cols.seq_off[sel].astype(np.int64)
+    bidx = soff[rec] + qpos
+    base = codes[bidx].astype(np.int32)
+    q = phred[bidx].astype(np.int32)
+    L = f[sel, F_LSEQ].astype(np.int64)[rec]
+    rev = (f[sel, F_FLAG][rec] & 0x10) != 0
+    cyc = np.minimum(np.where(rev, L - 1 - qpos, qpos),
+                     MAX_CYCLE - 1).astype(np.int32)
+    prev_i = np.where(rev, qpos + 1, qpos - 1)
+    valid_prev = (prev_i >= 0) & (prev_i < L)
+    prev = codes[soff[rec] + np.clip(prev_i, 0, np.maximum(L - 1, 0))]
+    ctx = np.where(valid_prev & (prev != 4),
+                   prev.astype(np.int32) * 4 + base, 0)
+
+    rtid = f[sel, F_TID].astype(np.int64)[rec]
+    in_ref = rpos < tid_len[rtid]
+    gpos = tid_off[rtid] + np.minimum(rpos, tid_len[rtid] - 1)
+    ref_base = refcat[np.clip(gpos, 0, max(len(refcat) - 1, 0))]
+
+    known_mask = np.zeros(len(rec), bool)
+    if known_sites:
+        kg = np.sort(np.asarray(
+            [tid_off[t] + p for t, p in known_sites
+             if 0 <= t <= max_tid and tid_ok[t] and p < tid_len[t]],
+            np.int64))
+        if len(kg):
+            j = np.searchsorted(kg, gpos)
+            known_mask = (j < len(kg)) & (kg[np.minimum(j, len(kg) - 1)]
+                                          == gpos) & in_ref
+
+    ok = ((base != 4) & (q >= MIN_USABLE_QUAL) & in_ref & ~known_mask)
+    rg_sel = _rg_array(cols, sel, rg_index)
+    return {
+        "rg": rg_sel[rec[ok]],
+        "qual": q[ok],
+        "cycle": cyc[ok],
+        "context": ctx[ok].astype(np.int32),
+        "is_error": (base[ok] != ref_base[ok]).astype(np.float32),
+    }
+
+
+def apply_bqsr_columns(cols, model: "RecalModel",
+                       rg_index: dict[str, int] | None = None):
+    """Vectorized ApplyBQSR on RecordColumns: one recalibrate() over every
+    base of every record, written back into a fresh qual blob."""
+    from .io.columns import (
+        F_FLAG, F_LSEQ, F_QSTAR, qual_phred_blob, seq_codes_blob)
+
+    f = cols.fixed
+    sel = np.flatnonzero((f[:, F_LSEQ] > 0) & (f[:, F_QSTAR] == 0))
+    if len(sel) == 0:
+        return cols
+    lseq = f[sel, F_LSEQ].astype(np.int64)
+    nb = int(lseq.sum())
+    bbase = np.cumsum(lseq) - lseq
+    rec = np.repeat(np.arange(len(sel)), lseq)
+    idx = np.arange(nb) - np.repeat(bbase, lseq)
+    soff = cols.seq_off[sel].astype(np.int64)
+    flat = soff[rec] + idx
+
+    codes = seq_codes_blob(cols)
+    phred = qual_phred_blob(cols)
+    q = phred[flat].astype(np.int32)
+    L = lseq[rec]
+    rev = (f[sel, F_FLAG][rec] & 0x10) != 0
+    cyc = np.minimum(np.where(rev, L - 1 - idx, idx),
+                     MAX_CYCLE - 1).astype(np.int32)
+    prev_i = np.where(rev, idx + 1, idx - 1)
+    valid_prev = (prev_i >= 0) & (prev_i < L)
+    prev = codes[soff[rec] + np.clip(prev_i, 0, np.maximum(L - 1, 0))]
+    cur = np.minimum(codes[flat], 3).astype(np.int32)
+    ctx = np.where(valid_prev & (prev != 4),
+                   prev.astype(np.int32) * 4 + cur, 0)
+    rg_sel = _rg_array(cols, sel, rg_index)
+    newq = model.recalibrate(rg_sel[rec], np.clip(q, 0, MAX_QUAL - 1),
+                             cyc, ctx)
+    qual = cols.qual.copy()
+    qual[flat] = (newq + (33 if cols.qual_mode == "ascii" else 0)
+                  ).astype(np.uint8)
+    cols.qual = qual
+    return cols
+
+
 # ---------------------------------------------------------------------------
 # device histogram (the hot reduction; shard-parallel, merged by +/psum)
 # ---------------------------------------------------------------------------

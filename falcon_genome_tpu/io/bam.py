@@ -433,6 +433,58 @@ def read_bam_region(path: str | Path,
     return header, out
 
 
+def read_bam_columns(path: str | Path):
+    """Columnar BAM read: (header, RecordColumns) — the native scan when
+    available, else the object path bridged through from_records."""
+    from . import native_ext
+    from .columns import RecordColumns
+    with BamReader(path) as r:
+        header = r.header
+        blob = r._r.read(-1)
+    if native_ext.available():
+        return header, RecordColumns.from_scan(blob)
+    return header, RecordColumns.from_records(_records_from_blob(blob))
+
+
+def read_bam_region_columns(path: str | Path,
+                            regions: list[tuple[str, int, int]]):
+    """Columnar region read via the ``.bai``: (header, RecordColumns) of
+    records overlapping any (contig, start0, end0) region, coordinate
+    order, duplicates across chunk overlaps dropped."""
+    from . import native_ext
+    from .columns import (F_ENDPOS, F_FLAG, F_POS, F_TID, RecordColumns)
+    from .tabix import BaiIndex, read_bgzf_at
+    with BamReader(path) as r:
+        header = r.header
+    if not native_ext.available():
+        h, recs = read_bam_region(path, regions)
+        return h, RecordColumns.from_records(recs)
+    bai = BaiIndex.read(str(path) + ".bai")
+    parts: list[RecordColumns] = []
+    for contig, beg, end in regions:
+        tid = header.tid(contig)
+        for u, v in bai.query_chunks(tid, beg, end):
+            cols = RecordColumns.from_scan(read_bgzf_at(path, u, v))
+            keep = ((cols.fixed[:, F_TID] == tid)
+                    & (cols.fixed[:, F_POS] < end)
+                    & (cols.fixed[:, F_ENDPOS] > beg))
+            if keep.any():
+                parts.append(cols.take(np.flatnonzero(keep)))
+    if not parts:
+        return header, RecordColumns.from_records([])
+    cols = RecordColumns.concat(parts)
+    # dedup (qname-hash, flag, pos) across overlapping chunks, keep
+    # coordinate order — mirrors read_bam_region's seen-set
+    key = np.stack([cols.name_hashes().astype(np.int64),
+                    cols.fixed[:, F_FLAG].astype(np.int64),
+                    cols.fixed[:, F_POS].astype(np.int64)], axis=1)
+    _, uniq_idx = np.unique(key, axis=0, return_index=True)
+    keep = np.sort(uniq_idx)
+    cols = cols.take(keep)
+    order = np.lexsort((cols.fixed[:, F_POS], cols.fixed[:, F_TID]))
+    return header, cols.take(order)
+
+
 def read_bam_coords(path: str | Path) -> np.ndarray:
     """(n, 3) array of (tid, pos, flag) — fast scan for sort/dup checks."""
     from . import native_ext

@@ -292,6 +292,133 @@ class RecordColumns:
             seq_mode=parts[0].seq_mode, qual_mode=parts[0].qual_mode)
 
 
+_ASCII_CODE = np.full(256, 4, np.uint8)   # base letter -> 0..3, else 4
+for _i, _b in enumerate(b"ACGT"):
+    _ASCII_CODE[_b] = _i
+for _i, _b in enumerate(b"acgt"):
+    _ASCII_CODE[_b] = _i
+
+
+def seq_codes_blob(cols: RecordColumns) -> np.ndarray:
+    """The seq blob as 0..3/4 codes regardless of seq_mode."""
+    if cols.seq_mode == "codes":
+        return cols.seq
+    return _ASCII_CODE[cols.seq]
+
+
+def qual_phred_blob(cols: RecordColumns) -> np.ndarray:
+    """The qual blob as raw phred regardless of qual_mode (int16; 0xff
+    fill rows of qstar records come out negative — callers mask them)."""
+    q = cols.qual.astype(np.int16)
+    return q if cols.qual_mode == "raw" else q - 33
+
+
+_CONSUME_Q_MASK = np.zeros(16, bool)
+_CONSUME_Q_MASK[[0, 1, 4, 7, 8]] = True    # M I S = X
+_M_LIKE_MASK = np.zeros(16, bool)
+_M_LIKE_MASK[[0, 7, 8]] = True             # M = X
+
+
+def expand_cigar_ops(cols: RecordColumns, sel: np.ndarray):
+    """Vectorized CIGAR walk for the records in ``sel``.
+
+    Returns per-op arrays (ops, lens, op_rec, qoff, roff) where op_rec
+    indexes into ``sel`` and qoff/roff are the query/reference offsets at
+    the start of each op (the running position the per-record Python walk
+    would carry) — segmented exclusive prefix sums, no Python loop.
+    """
+    sel = np.asarray(sel, np.int64)
+    ncig = cols.fixed[sel, F_NCIGAR].astype(np.int64)
+    total = int(ncig.sum())
+    if total == 0:
+        z = np.zeros(0, np.int64)
+        return (np.zeros(0, np.int32), np.zeros(0, np.int64), z, z, z)
+    op_base = np.zeros(len(sel), np.int64)
+    np.cumsum(ncig[:-1], out=op_base[1:])
+    op_idx = (np.repeat(cols.cig_off[sel].astype(np.int64), ncig)
+              + np.arange(total) - np.repeat(op_base, ncig))
+    ops = cols.cigar_ops[op_idx]
+    lens = cols.cigar_lens[op_idx].astype(np.int64)
+    op_rec = np.repeat(np.arange(len(sel)), ncig)
+
+    q_contrib = np.where(_CONSUME_Q_MASK[ops], lens, 0)
+    r_contrib = np.where(_REF_CONSUME_MASK[ops], lens, 0)
+    cq = np.cumsum(q_contrib) - q_contrib    # exclusive prefix, global
+    cr = np.cumsum(r_contrib) - r_contrib
+    starts = op_base                          # first-op index per record
+    qoff = cq - np.repeat(cq[starts], ncig)
+    roff = cr - np.repeat(cr[starts], ncig)
+    return ops, lens, op_rec, qoff, roff
+
+
+def expand_match_bases(cols: RecordColumns, sel: np.ndarray):
+    """Per-base expansion of the aligned (M/=/X) bases of ``sel`` records.
+
+    Returns (rec, qpos, rpos): for every aligned base, the index into
+    ``sel``, the base's offset in the read, and its 0-based reference
+    position.  This replaces the per-base Python CIGAR walks of covariate
+    extraction and pileup (VERDICT round-1 item 3) with numpy repeats.
+    """
+    ops, lens, op_rec, qoff, roff = expand_cigar_ops(cols, sel)
+    m = _M_LIKE_MASK[ops]
+    m_lens = lens[m]
+    nb = int(m_lens.sum())
+    if nb == 0:
+        z = np.zeros(0, np.int64)
+        return z, z, z
+    b_base = np.cumsum(m_lens) - m_lens
+    t = np.arange(nb) - np.repeat(b_base, m_lens)
+    rec = np.repeat(op_rec[m], m_lens)
+    qpos = np.repeat(qoff[m], m_lens) + t
+    sel = np.asarray(sel, np.int64)
+    rpos = (cols.fixed[sel, F_POS].astype(np.int64)[rec]
+            + np.repeat(roff[m], m_lens) + t)
+    return rec, qpos, rpos
+
+
+_TAG_SIZES = {ord("A"): 1, ord("c"): 1, ord("C"): 1, ord("s"): 2,
+              ord("S"): 2, ord("i"): 4, ord("I"): 4, ord("f"): 4}
+
+
+def _find_tag(span: bytes, tag: bytes) -> str | None:
+    """Exact forward walk of one record's BAM tag stream."""
+    off = 0
+    n = len(span)
+    while off + 3 <= n:
+        key = span[off:off + 2]
+        typ = span[off + 2]
+        off += 3
+        if typ in (ord("Z"), ord("H")):
+            end = span.find(b"\x00", off)
+            end = end if end >= 0 else n
+            if key == tag:
+                return span[off:end].decode()
+            off = end + 1
+        elif typ in _TAG_SIZES:
+            off += _TAG_SIZES[typ]
+        elif typ == ord("B"):
+            sub = span[off]
+            (cnt,) = np.frombuffer(span[off + 1:off + 5], "<i4")
+            off += 5 + _TAG_SIZES[sub] * int(cnt)
+        else:
+            return None  # malformed stream: stop
+    return None
+
+
+def tag_string_values(cols: RecordColumns, tag: bytes,
+                      idx: np.ndarray | None = None) -> list[str | None]:
+    """Per-record string value of a 2-byte tag (e.g. b"RG") from the raw
+    BAM tag blobs, for all records or the subset ``idx``.  Low-volume
+    helper (one stream walk per record)."""
+    blob = cols.tags.tobytes()
+    rng = range(len(cols)) if idx is None else idx
+    out: list[str | None] = []
+    for i in rng:
+        o = int(cols.tag_off[i])
+        out.append(_find_tag(blob[o:o + int(cols.tag_len[i])], tag))
+    return out
+
+
 def ref_span_lengths(cols: RecordColumns) -> np.ndarray:
     """(N,) int64 reference bases consumed by each record's CIGAR."""
     n = len(cols)

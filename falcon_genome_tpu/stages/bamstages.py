@@ -3,88 +3,142 @@
 Mirrors src/worker-markdup.cpp:15-57 — a single markdup pass over a BAM
 file or a bucket folder of ``part-%06d.bam`` shards (the reference's
 SambambaWorker MARKDUP with its bucket-tree input, SambambaWorker.cpp).
+
+The data plane is columnar end-to-end: BAM bytes → native scan →
+RecordColumns → vectorized dup keys → native encode, with no per-record
+Python objects (records materialize only for the irregular consumers —
+HaplotypeCaller active regions — via ``records_for``).
 """
 from __future__ import annotations
 
 import logging
 from pathlib import Path
 
-from ..bamops import mark_duplicates, merge_sorted, sort_records
+import numpy as np
+
+from ..bamops import mark_duplicates_columns
 from ..config import Config
-from ..io.bam import BamReader, read_bam, read_bam_region, write_bam
+from ..io.bam import (
+    BamReader, read_bam_columns, read_bam_region_columns, write_bam_columns)
+from ..io.columns import F_ENDPOS, F_FLAG, F_POS, F_TID, RecordColumns
+from ..io.sam import FLAG_UNMAPPED
 from ..utils.common import check_input, check_output, get_input_list
 
 log = logging.getLogger("falcon_genome_tpu")
 
 
-class BamInputSource:
-    """Shard-aware BAM input for scatter stages.
-
-    Small inputs load whole (one decode shared by every shard task);
-    inputs above the ``tpu.bam.stream_mb`` threshold with a ``.bai``
-    stream each shard's region straight from the indexed BGZF blocks —
-    bounded memory at WGS scale, no whole-file materialization."""
-
-    def __init__(self, path: str, stream_threshold_bytes: int = 256 << 20):
-        from .common import records_in_shard
-        self._in_shard = records_in_shard
-        p = Path(path)
-        self.path = p
-        self.stream = (p.is_file()
-                       and Path(str(p) + ".bai").exists()
-                       and p.stat().st_size > stream_threshold_bytes)
-        if self.stream:
-            with BamReader(p) as r:
-                self.header = r.header
-            self._records = None
-        else:
-            self.header, self._records = load_bam_input(path)
-
-    @classmethod
-    def from_conf(cls, conf: Config, path: str) -> "BamInputSource":
-        return cls(path, conf.get("tpu.bam.stream_mb") << 20)
-
-    def records_for(self, shard) -> list:
-        """Records overlapping a shard (list of Intervals), mapped only."""
-        if self.stream:
-            _, recs = read_bam_region(
-                self.path,
-                [(iv.contig, iv.start - 1, iv.end) for iv in shard])
-            return recs
-        return self._in_shard(self._records, shard, self.header)
-
-    @property
-    def records(self) -> list:
-        """All records (whole-file mode only callers)."""
-        if self._records is None:
-            self.header, self._records = read_bam(self.path)
-        return self._records
+def _columns_sorted(cols: RecordColumns) -> RecordColumns:
+    order = cols.coordinate_order()
+    if np.array_equal(order, np.arange(len(cols))):
+        return cols            # already coordinate-sorted: no copy
+    return cols.take(order)
 
 
-def load_bam_input(path: str):
-    """BAM file or bucket folder → (header, records) (ref BamInput,
-    src/BamInput.cpp:27-59)."""
+def load_bam_input_columns(path: str) -> tuple[object, RecordColumns]:
+    """BAM file or bucket folder → (header, coordinate-sorted columns)
+    (ref BamInput, src/BamInput.cpp:27-59)."""
     p = Path(path)
     if p.is_dir():
         parts = get_input_list(p, r"part-\d+.*\.bam")
         header = None
         shards = []
         for part in parts:
-            h, recs = read_bam(part)
+            h, cols = read_bam_columns(part)
             header = header or h
-            shards.append(recs)
-        return header, merge_sorted(shards)
+            shards.append(cols)
+        return header, _columns_sorted(RecordColumns.concat(shards))
     check_input(path)
-    return read_bam(path)
+    return read_bam_columns(path)
+
+
+def load_bam_input(path: str):
+    """Object-path twin of load_bam_input_columns (tests, small callers)."""
+    header, cols = load_bam_input_columns(path)
+    return header, cols.to_records()
+
+
+class BamInputSource:
+    """Shard-aware columnar BAM input for scatter stages.
+
+    Small inputs load whole as RecordColumns (one native decode shared by
+    every shard task); inputs above the ``tpu.bam.stream_mb`` threshold
+    with a ``.bai`` stream each shard's region straight from the indexed
+    BGZF blocks — bounded memory at WGS scale, no whole-file
+    materialization."""
+
+    def __init__(self, path: str, stream_threshold_bytes: int = 256 << 20):
+        p = Path(path)
+        self.path = p
+        self.stream = (p.is_file()
+                       and Path(str(p) + ".bai").exists()
+                       and p.stat().st_size > stream_threshold_bytes)
+        self._cols: RecordColumns | None = None
+        if self.stream:
+            with BamReader(p) as r:
+                self.header = r.header
+        else:
+            self.header, self._cols = load_bam_input_columns(path)
+
+    @classmethod
+    def from_conf(cls, conf: Config, path: str) -> "BamInputSource":
+        return cls(path, conf.get("tpu.bam.stream_mb") << 20)
+
+    def columns_for(self, shard, by_start: bool = False) -> RecordColumns:
+        """Columns of mapped records overlapping a shard's intervals.
+
+        ``by_start=True`` selects by record START instead (a partition:
+        every record lands in exactly one shard) — for partitioning
+        stages like printreads where overlap selection would emit
+        boundary-spanning reads twice."""
+        if self.stream:
+            _, cols = read_bam_region_columns(
+                self.path,
+                [(iv.contig, iv.start - 1, iv.end) for iv in shard])
+            if not by_start:
+                return cols
+            f = cols.fixed
+            m = np.zeros(len(cols), bool)
+            for iv in shard:
+                t = self.header.tid(iv.contig)
+                m |= ((f[:, F_TID] == t) & (f[:, F_POS] >= iv.start - 1)
+                      & (f[:, F_POS] < iv.end))
+            return cols.take(np.flatnonzero(m))
+        f = self._cols.fixed
+        m = np.zeros(len(self._cols), bool)
+        for iv in shard:
+            t = self.header.tid(iv.contig)
+            if by_start:
+                m |= ((f[:, F_TID] == t) & (f[:, F_POS] >= iv.start - 1)
+                      & (f[:, F_POS] < iv.end))
+            else:
+                m |= ((f[:, F_TID] == t) & (f[:, F_POS] < iv.end)
+                      & (f[:, F_ENDPOS] > iv.start - 1))
+        m &= (f[:, F_FLAG] & FLAG_UNMAPPED) == 0
+        return self._cols.take(np.flatnonzero(m))
+
+    def records_for(self, shard) -> list:
+        """Records overlapping a shard (list of Intervals), mapped only."""
+        return self.columns_for(shard).to_records()
+
+    @property
+    def columns(self) -> RecordColumns:
+        """All records as columns (loads whole file in stream mode)."""
+        if self._cols is None:
+            _, self._cols = read_bam_columns(self.path)
+        return self._cols
+
+    @property
+    def records(self) -> list:
+        """All records as objects (whole-file mode only callers)."""
+        return self.columns.to_records()
 
 
 def run_markdup(conf: Config, input_path: str, output: str,
                 force: bool = False) -> str:
     output = check_output(output, force)
-    header, records = load_bam_input(input_path)
-    records, ndup = mark_duplicates(records)
-    records = sort_records(records)
-    write_bam(output, header, records)
+    header, cols = load_bam_input_columns(input_path)
+    cols, ndup = mark_duplicates_columns(cols)
+    write_bam_columns(output, header, cols, order=cols.coordinate_order())
     log.info("markdup: %d records, %d duplicates → %s",
-             len(records), ndup, output)
+             len(cols), ndup, output)
     return output

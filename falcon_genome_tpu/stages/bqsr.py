@@ -4,21 +4,28 @@ Mirrors src/worker-bqsr.cpp: baserecal = per-shard BaseRecalibrator scatter
 + table gather (BQSRWorker ×ncontigs → BQSRGatherWorker, :19-79);
 printreads = per-shard ApplyBQSR emitting ``part-%06d.bam`` shards
 (PRWorker, :90-143); bqsr chains both (:352-363).  The per-shard tables
-merge by addition (a psum in the sharded path — see parallel/sharded.py).
+merge by addition (a psum under an active mesh — see parallel/sharded.py).
+
+The data plane is columnar: shard columns come from the shared decode or
+the ``.bai`` stream (BamInputSource), covariates extract vectorized
+(bqsr.extract_covariates_columns), and ApplyBQSR rewrites the qual blob in
+one vectorized remap — no per-record/per-base Python in the hot path.
 """
 from __future__ import annotations
 
 import logging
 from pathlib import Path
 
-from ..bqsr import RecalModel, RecalTable, apply_bqsr, baserecal_table
+from ..bqsr import (
+    RecalModel, RecalTable, accumulate_table, apply_bqsr_columns,
+    extract_covariates_columns)
 from ..config import Config
-from ..io.bam import write_bam
+from ..io.bam import write_bam_columns
 from ..io.vcf import read_vcf
 from ..pipeline.runner import PipelineRunner, stage
 from ..utils.common import check_input, check_output, get_contig_fname
-from .bamstages import load_bam_input
-from .common import interval_shards, load_fasta, records_in_shard
+from .bamstages import BamInputSource
+from .common import interval_shards, load_fasta
 
 log = logging.getLogger("falcon_genome_tpu")
 
@@ -40,19 +47,24 @@ def run_baserecal(conf: Config, ref: str, input_path: str, output: str,
     """Scatter + gather the recalibration table; writes <output>.npz."""
     output = check_output(output, force)
     fa = load_fasta(ref)
-    header, records = load_bam_input(input_path)
+    src = BamInputSource.from_conf(conf, input_path)
+    header = src.header
     ref_by_tid = {i: fa.contig_codes(name)
                   for i, (name, _) in enumerate(header.contigs)
                   if name in fa.dict.by_name}
     rgs = [rg["ID"] for rg in header.read_groups] or ["default"]
+    rg_index = {rg: i for i, rg in enumerate(rgs)}
     known = _known_sites_set(known_sites or [], header)
 
     shards = interval_shards(conf, fa)
     runner = PipelineRunner("Base Recalibration", force=True)
-    tasks = [
-        (lambda s=s: baserecal_table(
-            records_in_shard(records, s, header), ref_by_tid, rgs, known))
-        for s in shards if s]
+
+    def one(shard):
+        cov = extract_covariates_columns(
+            src.columns_for(shard), ref_by_tid, known, rg_index)
+        return accumulate_table(cov, rgs)
+
+    tasks = [(lambda s=s: one(s)) for s in shards if s]
     (tables,) = runner.run([stage(
         "BaseRecalibrator", tasks,
         nprocs=conf.get("gatk.bqsr.nprocs"))]).values()
@@ -67,10 +79,11 @@ def run_baserecal(conf: Config, ref: str, input_path: str, output: str,
 
 def run_printreads(conf: Config, ref: str, input_path: str, table: str,
                    output: str, force: bool = False) -> str:
-    """ApplyBQSR per shard → bucketed BAM shards + merged BAM."""
+    """ApplyBQSR per shard → bucketed BAM shards, or one merged BAM."""
     output = check_output(output, force)
     fa = load_fasta(ref)
-    header, records = load_bam_input(input_path)
+    src = BamInputSource.from_conf(conf, input_path)
+    header = src.header
     rtable = RecalTable.load(check_input(
         table if Path(table).exists() else table + ".npz"))
     model = RecalModel.fit(rtable)
@@ -81,25 +94,30 @@ def run_printreads(conf: Config, ref: str, input_path: str, table: str,
     runner = PipelineRunner("Print Reads", force=True)
 
     def one(shard, idx):
-        recs = records_in_shard(records, shard, header)
-        apply_bqsr(recs, model, rg_index)
+        # by_start: a partition — boundary-spanning reads are emitted by
+        # exactly one shard (output record count == input record count)
+        cols = apply_bqsr_columns(src.columns_for(shard, by_start=True),
+                                  model, rg_index)
         if out_is_dir:
             Path(output).mkdir(parents=True, exist_ok=True)
             path = get_contig_fname(output, idx, "bam")
-            write_bam(path, header, recs)
+            write_bam_columns(path, header, cols)
             # sidecar .list with the shard's regions (PRWorker writes
             # .bed/.list shard metadata, BQSRWorker.cpp:180-228)
             from ..io.intervals import write_interval_list
             write_interval_list(get_contig_fname(output, idx, "list"), shard)
             return path
-        return recs
+        return cols
 
     tasks = [(lambda s=s, i=i: one(s, i)) for i, s in enumerate(shards)]
     (results,) = runner.run([stage(
         "PrintReads", tasks, nprocs=conf.get("gatk.pr.nprocs"))]).values()
     if not out_is_dir:
-        merged = [r for recs in results for r in recs]
-        write_bam(output, header, merged)
+        from ..io.columns import RecordColumns
+        merged = RecordColumns.concat(
+            [c for c in results if c is not None and len(c)])
+        write_bam_columns(output, header, merged,
+                          order=merged.coordinate_order())
     log.info("printreads → %s", output)
     return output
 

@@ -1,0 +1,197 @@
+"""Columnar (vectorized) op equivalence vs the object-path golden models:
+covariate extraction, ApplyBQSR, duplicate marking, per-base expansion."""
+import numpy as np
+import pytest
+
+from falcon_genome_tpu.bamops import (
+    mark_duplicates, mark_duplicates_columns, unclipped_start)
+from falcon_genome_tpu.bqsr import (
+    RecalModel, apply_bqsr, apply_bqsr_columns, baserecal_table,
+    extract_covariates, extract_covariates_columns)
+from falcon_genome_tpu.io.columns import (
+    RecordColumns, expand_match_bases, tag_string_values)
+from falcon_genome_tpu.io.dna import decode_seq
+from falcon_genome_tpu.io.sam import (
+    FLAG_DUP, FLAG_REVERSE, FLAG_UNMAPPED, SamRecord, cigar_from_str)
+
+
+def _sim_records(rng, ref, n=120, read_len=40, with_rg=True):
+    """Mapped reads with clips/indels/reverse flags + errors, some dups."""
+    recs = []
+    cig_choices = [f"{read_len}M", f"5S{read_len-5}M",
+                   f"{read_len//2}M3D{read_len - read_len//2}M",
+                   f"{read_len//2}M2I{read_len - read_len//2 - 2}M",
+                   f"{read_len-4}M4S"]
+    for i in range(n):
+        pos = int(rng.integers(0, len(ref) - read_len - 10))
+        cig = cig_choices[int(rng.integers(0, len(cig_choices)))]
+        flag = FLAG_REVERSE if rng.random() < 0.5 else 0
+        seq = ref[pos:pos + read_len].copy()
+        err = rng.random(read_len) < 0.05
+        seq = np.where(err, (seq + 1) % 4, seq)
+        qual = (rng.integers(5, 40, read_len) + 33).astype(np.uint8)
+        r = SamRecord(f"q{i}", flag, 0, pos, 60, cigar_from_str(cig),
+                      seq=decode_seq(seq),
+                      qual=qual.tobytes().decode("latin1"))
+        if with_rg:
+            r.set_tag("RG", "Z", f"rg{i % 2}")
+        recs.append(r)
+    # duplicates of the first few reads (lower quals)
+    for i in range(6):
+        src = recs[i]
+        d = SamRecord(f"dup{i}", src.flag, 0, src.pos, 60,
+                      list(src.cigar), seq=src.seq,
+                      qual=chr(20 + 33) * len(src.seq))
+        if with_rg:
+            d.set_tag("RG", "Z", "rg0")
+        recs.append(d)
+    return recs
+
+
+class TestExpandMatchBases:
+    def test_matches_python_walk(self, rng):
+        ref = rng.integers(0, 4, 500).astype(np.uint8)
+        recs = _sim_records(rng, ref, n=40)
+        cols = RecordColumns.from_records(recs)
+        sel = np.arange(len(recs))
+        rec, qpos, rpos = expand_match_bases(cols, sel)
+        # golden walk
+        from falcon_genome_tpu.io.sam import (
+            CIGAR_D, CIGAR_I, CIGAR_M, CIGAR_S)
+        gold = []
+        for ri, r in enumerate(recs):
+            i, rp = 0, r.pos
+            for op, nn in r.cigar:
+                if op == CIGAR_M:
+                    for t in range(nn):
+                        gold.append((ri, i + t, rp + t))
+                    i += nn
+                    rp += nn
+                elif op in (CIGAR_I, CIGAR_S):
+                    i += nn
+                elif op == CIGAR_D:
+                    rp += nn
+        got = list(zip(rec.tolist(), qpos.tolist(), rpos.tolist()))
+        assert got == gold
+
+
+class TestTagValues:
+    def test_rg_roundtrip(self, rng):
+        ref = rng.integers(0, 4, 300).astype(np.uint8)
+        recs = _sim_records(rng, ref, n=10)
+        recs[3].set_tag("NM", "i", 2)   # non-string tag before RG read
+        cols = RecordColumns.from_records(recs)
+        vals = tag_string_values(cols, b"RG")
+        assert vals == [r.get_tag("RG") for r in recs]
+
+
+class TestCovariatesColumnar:
+    def test_matches_object_path(self, rng):
+        ref = rng.integers(0, 4, 600).astype(np.uint8)
+        recs = _sim_records(rng, ref, n=150)
+        # a few ineligible records
+        recs.append(SamRecord("u1", FLAG_UNMAPPED))
+        recs[10].flag |= FLAG_DUP
+        recs[11].flag |= 0x100
+        rg_index = {"rg0": 0, "rg1": 1}
+        known = {(0, int(p)) for p in rng.integers(0, 600, 25)}
+        ref_by_tid = {0: ref}
+        gold = extract_covariates(recs, ref_by_tid, known, rg_index)
+        cols = RecordColumns.from_records(recs)
+        got = extract_covariates_columns(cols, ref_by_tid, known, rg_index)
+        assert len(got["rg"]) == len(gold["rg"])
+        for k in ("rg", "qual", "cycle", "context", "is_error"):
+            np.testing.assert_array_equal(got[k], gold[k], err_msg=k)
+
+    def test_baserecal_table_columnar_equal(self, rng):
+        ref = rng.integers(0, 4, 600).astype(np.uint8)
+        recs = _sim_records(rng, ref, n=100)
+        gold = baserecal_table(recs, {0: ref}, ["rg0", "rg1"])
+        cols = RecordColumns.from_records(recs)
+        from falcon_genome_tpu.bqsr import accumulate_table
+        got = accumulate_table(
+            extract_covariates_columns(cols, {0: ref}, None,
+                                       {"rg0": 0, "rg1": 1}),
+            ["rg0", "rg1"])
+        for f in ("qual_obs", "qual_err", "cycle_obs", "cycle_err",
+                  "ctx_obs", "ctx_err"):
+            np.testing.assert_allclose(getattr(got, f), getattr(gold, f),
+                                       err_msg=f)
+
+
+class TestApplyBqsrColumnar:
+    def test_matches_object_path(self, rng):
+        ref = rng.integers(0, 4, 600).astype(np.uint8)
+        recs = _sim_records(rng, ref, n=120)
+        rg_index = {"rg0": 0, "rg1": 1}
+        table = baserecal_table(recs, {0: ref}, ["rg0", "rg1"])
+        model = RecalModel.fit(table)
+        cols = RecordColumns.from_records(recs)
+        apply_bqsr_columns(cols, model, rg_index)
+        gold = apply_bqsr([r for r in recs], model, rg_index)
+        out = cols.to_records()
+        for g, o in zip(gold, out):
+            assert g.qual == o.qual, g.qname
+
+
+class TestMarkdupColumnar:
+    def _compare(self, recs):
+        import copy
+        gold_recs = copy.deepcopy(recs)
+        _, gold_ndup = mark_duplicates(gold_recs)
+        cols = RecordColumns.from_records(recs)
+        _, ndup = mark_duplicates_columns(cols)
+        assert ndup == gold_ndup
+        got = cols.to_records()
+        for g, o in zip(gold_recs, got):
+            assert g.is_duplicate == o.is_duplicate, g.qname
+
+    def test_fragments_and_pairs(self, rng):
+        ref = rng.integers(0, 4, 600).astype(np.uint8)
+        recs = _sim_records(rng, ref, n=80)
+
+        def pair(name, p1, p2, qual="I" * 10):
+            r1 = SamRecord(name, 0x1 | 0x40, 0, p1, 60,
+                           cigar_from_str("10M"), seq="A" * 10, qual=qual)
+            r2 = SamRecord(name, 0x1 | 0x80 | FLAG_REVERSE, 0, p2, 60,
+                           cigar_from_str("10M"), seq="A" * 10, qual=qual)
+            return [r1, r2]
+        recs += pair("p1", 100, 300) + pair("p2", 100, 300, "5" * 10) \
+            + pair("p3", 100, 400)
+        self._compare(recs)
+
+    def test_clip_aware_and_ties(self, rng):
+        recs = [
+            SamRecord("b", 0, 0, 100, 60, cigar_from_str("10M"),
+                      seq="A" * 10, qual="I" * 10),
+            SamRecord("a", 0, 0, 103, 60, cigar_from_str("3S7M"),
+                      seq="A" * 10, qual="I" * 10),  # same unclipped start
+            SamRecord("c", 0, 0, 200, 60, cigar_from_str("10M"),
+                      seq="A" * 10, qual="I" * 10),
+        ]
+        self._compare(recs)
+
+    def test_secondary_marked_with_primary(self, rng):
+        recs = [
+            SamRecord("x", 0, 0, 100, 60, cigar_from_str("10M"),
+                      seq="A" * 10, qual="I" * 10),
+            SamRecord("y", 0, 0, 100, 60, cigar_from_str("10M"),
+                      seq="A" * 10, qual="#" * 10),
+            SamRecord("y", 0x100, 0, 250, 60, cigar_from_str("10M"),
+                      seq="A" * 10, qual="#" * 10),
+        ]
+        self._compare(recs)
+
+    def test_unclipped_start_agrees(self, rng):
+        recs = [
+            SamRecord("f", 0, 0, 100, 60, cigar_from_str("5S5M"),
+                      seq="A" * 10, qual="I" * 10),
+            SamRecord("r", FLAG_REVERSE, 0, 100, 60,
+                      cigar_from_str("5M5S"), seq="A" * 10, qual="I" * 10),
+            SamRecord("hs", 0, 0, 50, 60, cigar_from_str("2H3S5M"),
+                      seq="A" * 8, qual="I" * 8),
+        ]
+        cols = RecordColumns.from_records(recs)
+        from falcon_genome_tpu.bamops import _unclipped_coords_columns
+        uc, rev = _unclipped_coords_columns(cols, np.arange(3))
+        assert uc.tolist() == [unclipped_start(r) for r in recs]
