@@ -165,6 +165,10 @@ def build_option_table() -> dict[str, Option]:
         O("tpu.dist.coordinator", str, "",
           "coordinator address host:port for jax.distributed", env_ok=True),
         O("tpu.batch.reads", int, 4096, "reads per device batch"),
+        O("tpu.align.spill_mb", int, 512,
+          "FASTQ inputs above this spill aligned records to per-bucket "
+          "temp files (bounded memory; the reference's temp-dir bucket "
+          "tree, BWAWorker.cpp:134-147)"),
         O("tpu.bam.stream_mb", int, 256,
           "BAMs larger than this stream per-shard via .bai instead of "
           "loading whole"),

@@ -353,6 +353,94 @@ def write_bam_columns(path: str | Path, header: SamHeader, cols,
     return str(path)
 
 
+class BamColumnsWriter:
+    """Streaming columnar BAM writer: append RecordColumns chunks, get one
+    BAM + ``.bai``.  Each chunk is native-encoded and BGZF-compressed on
+    its own block boundary, so memory is bounded by the chunk size — the
+    merge half of the reference's bucket-tree dataflow
+    (src/workers/BWAWorker.cpp:134-147) without materializing the file.
+
+    Chunks must arrive in coordinate order (already-sorted buckets); the
+    writer tracks virtual offsets across chunks for the index.
+    """
+
+    def __init__(self, path: str | Path, header, level: int = 6):
+        from . import native_ext
+        if not native_ext.available():
+            raise RuntimeError("BamColumnsWriter requires the native lib")
+        self._native = native_ext
+        self.path = str(path)
+        self._f = open(path, "wb")
+        self._level = level
+        hdr = _header_bytes(header)
+        comp, _ = native_ext.bgzf_compress_mt(hdr, level)
+        self._f.write(comp)
+        self._base = len(comp)
+        self._n_ref = max(len(header.contigs), 1)
+        self._tid, self._pos, self._end = [], [], []
+        self._v0, self._v1 = [], []
+        self._sorted = True
+        self._last = (-1, -1)
+
+    def write_columns(self, cols, order=None) -> None:
+        from .columns import F_ENDPOS, F_FLAG, F_POS, F_TID
+        from .sam import FLAG_UNMAPPED
+        if len(cols) == 0:
+            return
+        body = cols.encode(order)
+        comp, coffs = self._native.bgzf_compress_mt(body.tobytes(),
+                                                    self._level)
+        sizes = cols.record_sizes()
+        f12 = cols.fixed
+        if order is not None:
+            sizes = sizes[order]
+            f12 = f12[order]
+        u = np.zeros(len(sizes) + 1, np.int64)
+        np.cumsum(sizes, out=u[1:])
+        blk = u // 65280
+        voff = ((self._base + coffs[blk]).astype(np.uint64) << np.uint64(16)
+                | (u % 65280).astype(np.uint64))
+        self._f.write(comp)
+        self._base += len(comp)
+        mapped = (f12[:, F_FLAG] & FLAG_UNMAPPED) == 0
+        tid = f12[:, F_TID].astype(np.int64)
+        pos = f12[:, F_POS].astype(np.int64)
+        m_tid, m_pos = tid[mapped], pos[mapped]
+        if len(m_tid):
+            if (int(m_tid[0]), int(m_pos[0])) < self._last:
+                self._sorted = False
+            if not bool(np.all((m_tid[1:] > m_tid[:-1])
+                               | ((m_tid[1:] == m_tid[:-1])
+                                  & (m_pos[1:] >= m_pos[:-1])))):
+                self._sorted = False
+            self._last = (int(m_tid[-1]), int(m_pos[-1]))
+            end = np.maximum(f12[:, F_ENDPOS].astype(np.int64), pos + 1)
+            self._tid.append(m_tid)
+            self._pos.append(m_pos)
+            self._end.append(end[mapped])
+            self._v0.append(voff[:-1][mapped])
+            self._v1.append(voff[1:][mapped])
+
+    def close(self, index: bool = True) -> str:
+        from .bgzf import _EOF_BLOCK
+        from .tabix import write_bai_arrays
+        self._f.write(_EOF_BLOCK)
+        self._f.close()
+        if index and self._sorted and self._tid:
+            write_bai_arrays(
+                self.path + ".bai", self._n_ref,
+                np.concatenate(self._tid), np.concatenate(self._pos),
+                np.concatenate(self._end), np.concatenate(self._v0),
+                np.concatenate(self._v1))
+        return self.path
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
 def _records_from_scan(blob: bytes, scan) -> list[SamRecord]:
     """Assemble SamRecords from the native columnar scan (tags stay raw)."""
     ok, fixed, offs, cig_off, cops, clens, seq_a, qual_a = scan

@@ -82,6 +82,33 @@ def aligned_bam(world, conf):
 
 
 class TestAlignStage:
+    def test_spill_path_matches_in_memory(self, world, conf, aligned_bam):
+        """Bucket-spill dataflow (bounded-memory WGS path) must produce
+        the identical sorted BAM as the in-memory path."""
+        from falcon_genome_tpu.io import native_ext
+        if not native_ext.available():
+            pytest.skip("spill path needs the native lib")
+        import copy
+        c2 = copy.deepcopy(conf)
+        c2.set("tpu.align.spill_mb", 0)   # force spill
+        c2.set("bwa.num_buckets", 7)
+        out = world["tmp"] / "aligned_spill.bam"
+        stages.run_align(c2, world["ref"], str(out),
+                         fastq1=world["fq1"], fastq2=world["fq2"],
+                         sample_id="s1", read_group="rg0", force=True)
+        _, a = read_bam(aligned_bam)
+        _, b = read_bam(str(out))
+        assert len(a) == len(b)
+        ka = sorted((r.qname, r.flag, r.tid, r.pos, r.seq, r.qual)
+                    for r in a)
+        kb = sorted((r.qname, r.flag, r.tid, r.pos, r.seq, r.qual)
+                    for r in b)
+        assert ka == kb
+        # spilled output is coordinate-sorted and indexed
+        coords = [(r.tid, r.pos) for r in b if not r.is_unmapped]
+        assert coords == sorted(coords)
+        assert Path(str(out) + ".bai").exists()
+
     def test_bam_written_sorted(self, aligned_bam):
         header, records = read_bam(aligned_bam)
         assert len(records) > 500
