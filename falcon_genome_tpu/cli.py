@@ -55,7 +55,9 @@ def _base(p: argparse.ArgumentParser, ref=True, output=True):
     p.add_argument("-O", "--option", action="append", default=[],
                    metavar="KEY=VALUE", help="config override")
     p.add_argument("--extra-options", action="append", default=[],
-                   help="accepted for reference compatibility (unused)")
+                   help="per-tool flag overrides, GATK-style "
+                   "(e.g. \"-ERC NONE -stand_call_conf 30\"); "
+                   "override-wins vs stage defaults")
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -100,6 +102,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-n", "--normal")
     p.add_argument("-L", "--intervals")
     p.add_argument("--skip-filter", action="store_true")
+    # resource surface (ref worker-mutect2.cpp:64-72)
+    p.add_argument("-d", "--dbsnp", action="append", default=[])
+    p.add_argument("-c", "--cosmic", action="append", default=[])
+    p.add_argument("-m", "--germline")
+    p.add_argument("-p", "--panels_of_normals", "--panel-of-normals",
+                   dest="panels_of_normals")
+    p.add_argument("--contamination_table", "--contamination-table",
+                   dest="contamination_table")
+    p.add_argument("-a", "--normal_name", default="NORMAL")
+    p.add_argument("-b", "--tumor_name", default="TUMOR")
 
     p = sub.add_parser("indel")
     _base(p)
@@ -192,13 +204,20 @@ def dispatch(args: argparse.Namespace, conf) -> None:
         stages.run_htc(conf, args.ref, args.input, args.output,
                        produce_vcf=args.produce_vcf,
                        intervals=args.intervals, sample=args.sample_id,
-                       force=args.force)
+                       force=args.force, extra_opts=args.extra_options)
     elif cmd == "mutect2":
         stages.run_mutect2(conf, args.ref, args.tumor, args.output,
                            normal_path=args.normal,
                            intervals=args.intervals,
                            run_filter=not args.skip_filter,
-                           force=args.force)
+                           force=args.force,
+                           tumor_name=args.tumor_name,
+                           normal_name=args.normal_name,
+                           dbsnp=args.dbsnp, cosmic=args.cosmic,
+                           germline=args.germline,
+                           panels_of_normals=args.panels_of_normals,
+                           contamination_table=args.contamination_table,
+                           extra_opts=args.extra_options)
     elif cmd == "indel":
         from .stages.indel import run_indel
         run_indel(conf, args.ref, args.input, args.output,
@@ -209,7 +228,7 @@ def dispatch(args: argparse.Namespace, conf) -> None:
     elif cmd == "ug":
         stages.run_ug(conf, args.ref, args.input, args.output,
                       intervals=args.intervals, sample=args.sample_id,
-                      force=args.force)
+                      force=args.force, extra_opts=args.extra_options)
     elif cmd == "gatk":
         _dispatch_gatk(conf, args.gatk_args)
     elif cmd == "depth":

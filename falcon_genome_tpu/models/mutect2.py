@@ -280,6 +280,145 @@ class Mutect2:
 
 
 # ---------------------------------------------------------------------------
+# somatic resource inputs (ref Mutect2Worker.cpp:124-168: panel-of-normals,
+# germline resource, dbsnp/cosmic; Mutect2FilterWorker.cpp:66-68:
+# contamination table)
+# ---------------------------------------------------------------------------
+
+class SiteTable:
+    """Positional lookup over a resource VCF (PoN / germline AF / dbsnp).
+
+    Tabix-indexed ``.vcf.gz`` inputs stream per-region (bounded memory at
+    WGS scale); plain VCFs load once.  Lookups key on (contig, pos, ref,
+    alt) with a position-level fallback."""
+
+    def __init__(self, path: str):
+        from pathlib import Path as _P
+
+        from ..utils.common import check_input
+        self.path = check_input(path)
+        self.indexed = (str(path).endswith(".gz")
+                        and _P(str(path) + ".tbi").exists())
+        self._all: dict[str, list] | None = None
+        if not self.indexed:
+            from ..io.vcf import read_vcf
+            _, recs = read_vcf(self.path)
+            self._all = {}
+            for r in recs:
+                self._all.setdefault(r.contig, []).append(r)
+
+    def records(self, contig: str, start: int, end: int) -> list:
+        """Resource records with pos in [start, end) (0-based half-open)."""
+        if self.indexed:
+            from ..io.tabix import query_vcf_region
+            # query takes 1-based inclusive coordinates
+            return [r for r in query_vcf_region(self.path, contig,
+                                                start + 1, end)
+                    if start <= r.pos - 1 < end]
+        return [r for r in self._all.get(contig, ())
+                if start <= r.pos - 1 < end]
+
+
+@dataclasses.dataclass
+class SomaticResources:
+    """The reference's Mutect2 resource surface, as site tables."""
+    pon: SiteTable | None = None
+    germline: SiteTable | None = None
+    dbsnp: list[SiteTable] = dataclasses.field(default_factory=list)
+    cosmic: list[SiteTable] = dataclasses.field(default_factory=list)
+    contamination: float = 0.0
+
+    @classmethod
+    def load(cls, pon: str | None = None, germline: str | None = None,
+             dbsnp: list[str] | None = None,
+             cosmic: list[str] | None = None,
+             contamination_table: str | None = None
+             ) -> "SomaticResources":
+        return cls(
+            pon=SiteTable(pon) if pon else None,
+            germline=SiteTable(germline) if germline else None,
+            dbsnp=[SiteTable(p) for p in (dbsnp or [])],
+            cosmic=[SiteTable(p) for p in (cosmic or [])],
+            contamination=read_contamination_table(contamination_table)
+            if contamination_table else 0.0)
+
+    def __bool__(self) -> bool:
+        return bool(self.pon or self.germline or self.dbsnp or self.cosmic
+                    or self.contamination > 0.0)
+
+
+def read_contamination_table(path: str) -> float:
+    """GATK CalculateContamination output: TSV with a ``contamination``
+    column (Mutect2FilterWorker.cpp:66-68 forwards it to the filter)."""
+    from ..utils.common import check_input
+    with open(check_input(path)) as f:
+        header = f.readline().rstrip("\n").split("\t")
+        try:
+            ci = header.index("contamination")
+        except ValueError:
+            raise ValueError(
+                f"{path}: no 'contamination' column in {header}")
+        worst = 0.0
+        for line in f:
+            if line.strip():
+                worst = max(worst, float(line.split("\t")[ci]))
+    return worst
+
+
+def annotate_resources(records: list[VcfRecord], contig: str,
+                       start: int, end: int,
+                       res: SomaticResources) -> list[VcfRecord]:
+    """Annotate emissions against the resource tables (one region query
+    per shard): PON flag, POPAF (-log10 population AF from the germline
+    resource), rs/COSMIC IDs from dbsnp/cosmic."""
+    if not records or not res:
+        return records
+
+    def site_map(tables):
+        m: dict[tuple[int, str, str], VcfRecord] = {}
+        pos_set: set[int] = set()
+        for tab in tables:
+            for r in tab.records(contig, start, end):
+                pos_set.add(r.pos)
+                for alt in (r.alts or ["."]):
+                    m[(r.pos, r.ref, alt)] = r
+        return m, pos_set
+
+    pon_m, pon_pos = site_map([res.pon]) if res.pon else ({}, set())
+    germ_m, _ = site_map([res.germline]) if res.germline else ({}, set())
+    db_m, _ = site_map(res.dbsnp) if res.dbsnp else ({}, set())
+    cos_m, _ = site_map(res.cosmic) if res.cosmic else ({}, set())
+
+    for rec in records:
+        key = (rec.pos, rec.ref, rec.alts[0] if rec.alts else ".")
+        if res.pon and (key in pon_m or rec.pos in pon_pos):
+            rec.info["PON"] = True
+        if res.germline:
+            g = germ_m.get(key)
+            af = 1e-6
+            if g is not None:
+                try:
+                    raw = g.info.get("AF", 1e-6)
+                    if isinstance(raw, (list, tuple)):
+                        raw = raw[0]
+                    af = max(float(raw), 1e-6)
+                except (TypeError, ValueError):
+                    af = 1e-6
+            rec.info["POPAF"] = round(-np.log10(af), 2)
+        ids = []
+        d = db_m.get(key)
+        if d is not None and d.id not in (None, "."):
+            ids.append(d.id)
+            rec.info["DB"] = True
+        c = cos_m.get(key)
+        if c is not None and c.id not in (None, "."):
+            ids.append(c.id)
+        if ids:
+            rec.id = ";".join(ids)
+    return records
+
+
+# ---------------------------------------------------------------------------
 # FilterMutectCalls analog (ref Mutect2FilterWorker, §2 row 16)
 # ---------------------------------------------------------------------------
 
@@ -314,18 +453,35 @@ def filter_mutect_calls(records: list[VcfRecord],
                         max_af_normal: float = 0.1,
                         strand_p: float = 0.05,
                         orientation_minor_frac: float = 0.1,
-                        orientation_min_alt: int = 4) -> list[VcfRecord]:
+                        orientation_min_alt: int = 4,
+                        max_popaf: float = 2.0,
+                        contamination: float = 0.0) -> list[VcfRecord]:
     """Annotate FILTER on Mutect2 emissions; returns the same records.
 
     Filters (GATK FilterMutectCalls analogs): weak_evidence (TLOD),
-    low_alt_count, germline (normal AF), strand_bias (Fisher exact on the
-    SB table), orientation (F1R2/F2R1 skew — the FFPE/oxoG artifact
-    signature)."""
+    low_alt_count, germline (normal AF, or population AF via POPAF from
+    the germline resource), strand_bias (Fisher exact on the SB table),
+    orientation (F1R2/F2R1 skew — the FFPE/oxoG artifact signature),
+    panel_of_normals (PON-annotated sites), contamination (tumor AF at or
+    below the contamination fraction)."""
     for r in records:
         filters = []
         tlod = float(r.info.get("TLOD", 0.0))
         if tlod < min_tlod:
             filters.append("weak_evidence")
+        if r.info.get("PON"):
+            filters.append("panel_of_normals")
+        popaf = r.info.get("POPAF")
+        if popaf is not None and float(popaf) < max_popaf:
+            # common in the population → likely germline, unless the
+            # matched normal strongly supports hom-ref at the site
+            nlod = float(r.info.get("NLOD", 0.0))
+            if nlod < 2.0 * max(1.0, 2.0 - float(popaf)):
+                filters.append("germline")
+        if contamination > 0.0 and r.samples:
+            af_t = float(r.samples[0].get("AF", 1.0))
+            if af_t <= contamination:
+                filters.append("contamination")
         if r.samples:
             ad = r.samples[0].get("AD", [0, 0])
             ad = [int(x) for x in (ad if isinstance(ad, (list, tuple))
@@ -349,7 +505,7 @@ def filter_mutect_calls(records: list[VcfRecord],
             if (total >= orientation_min_alt
                     and min(f1r2, f2r1) / total <= orientation_minor_frac):
                 filters.append("orientation")
-        if len(r.samples) > 1:
+        if len(r.samples) > 1 and "germline" not in filters:
             af_n = float(r.samples[1].get("AF", 0.0))
             if af_n > max_af_normal:
                 filters.append("germline")
