@@ -76,6 +76,14 @@ class RecalTable:
 
     @classmethod
     def load(cls, path: str) -> "RecalTable":
+        """Load a table: ``.npz`` (fast private format) or a GATK-format
+        recalibration report (the reference's interchange format —
+        BQSRWorker.cpp:111-150 gathers GATK reports)."""
+        import os
+        if not path.endswith(".npz") and os.path.exists(path):
+            with open(path, "rb") as f:
+                if f.read(12).startswith(b"#:GATKReport"):
+                    return read_gatk_report(path)
         z = np.load(path if path.endswith(".npz") else path + ".npz",
                     allow_pickle=False)
         return cls([str(s) for s in z["read_groups"]],
@@ -152,6 +160,152 @@ def extract_covariates(records: list[SamRecord],
         "context": np.asarray(ctxs, np.int32),
         "is_error": np.asarray(errs, np.float32),
     }
+
+
+# ---------------------------------------------------------------------------
+# GATK-format recalibration report (the reference's table interchange
+# format: BaseRecalibrator emits it, GatherBqsrReports merges it, PrintReads
+# consumes it — BQSRWorker.cpp:111-150)
+# ---------------------------------------------------------------------------
+
+_BASES = "ACGT"
+
+
+def _ctx_str(i: int) -> str:
+    return _BASES[i // 4] + _BASES[i % 4]
+
+
+def _emp_q(err: np.ndarray | float, obs: np.ndarray | float) -> np.ndarray:
+    """GATK's smoothed empirical quality: phred((err+1)/(obs+2))."""
+    return -10.0 * np.log10((np.asarray(err, np.float64) + 1.0)
+                            / (np.asarray(obs, np.float64) + 2.0))
+
+
+def write_gatk_report(table: RecalTable, path: str) -> str:
+    """Write the table as a GATKReport v1.1 recalibration report.
+
+    Tables: RecalTable0 (per read group), RecalTable1 (per RG × reported
+    quality), RecalTable2 (per RG × quality × {Context, Cycle} covariate).
+    Event type is ``M`` (base mismatches — the model this engine fits).
+    """
+    reported = np.arange(MAX_QUAL, dtype=np.float64)
+    lines: list[str] = []
+
+    rows0 = []
+    for g, rg in enumerate(table.read_groups):
+        obs = table.qual_obs[g].sum()
+        err = table.qual_err[g].sum()
+        est = ((table.qual_obs[g] * reported).sum() / obs) if obs else 0.0
+        rows0.append((rg, "M", float(_emp_q(err, obs)), est,
+                      int(obs), err))
+    lines.append(f"#:GATKTable:6:{len(rows0)}:%s:%s:%.4f:%.4f:%d:%.2f:;")
+    lines.append("#:GATKTable:RecalTable0:")
+    lines.append("ReadGroup\tEventType\tEmpiricalQuality\t"
+                 "EstimatedQReported\tObservations\tErrors")
+    for rg, ev, emp, est, obs, err in rows0:
+        lines.append(f"{rg}\t{ev}\t{emp:.4f}\t{est:.4f}\t{obs}\t{err:.2f}")
+    lines.append("")
+
+    rows1 = []
+    for g, rg in enumerate(table.read_groups):
+        for q in range(MAX_QUAL):
+            obs = table.qual_obs[g, q]
+            if obs > 0:
+                rows1.append((rg, q, "M",
+                              float(_emp_q(table.qual_err[g, q], obs)),
+                              int(obs), table.qual_err[g, q]))
+    lines.append(f"#:GATKTable:6:{len(rows1)}:%s:%d:%s:%.4f:%d:%.2f:;")
+    lines.append("#:GATKTable:RecalTable1:")
+    lines.append("ReadGroup\tQualityScore\tEventType\tEmpiricalQuality\t"
+                 "Observations\tErrors")
+    for rg, q, ev, emp, obs, err in rows1:
+        lines.append(f"{rg}\t{q}\t{ev}\t{emp:.4f}\t{obs}\t{err:.2f}")
+    lines.append("")
+
+    rows2 = []
+    for g, rg in enumerate(table.read_groups):
+        gq, gctx = np.nonzero(table.ctx_obs[g])
+        for q, c in zip(gq.tolist(), gctx.tolist()):
+            rows2.append((rg, q, _ctx_str(c), "Context", "M",
+                          float(_emp_q(table.ctx_err[g, q, c],
+                                       table.ctx_obs[g, q, c])),
+                          int(table.ctx_obs[g, q, c]),
+                          table.ctx_err[g, q, c]))
+        gq, gcyc = np.nonzero(table.cycle_obs[g])
+        for q, cy in zip(gq.tolist(), gcyc.tolist()):
+            rows2.append((rg, q, str(cy), "Cycle", "M",
+                          float(_emp_q(table.cycle_err[g, q, cy],
+                                       table.cycle_obs[g, q, cy])),
+                          int(table.cycle_obs[g, q, cy]),
+                          table.cycle_err[g, q, cy]))
+    lines.append(
+        f"#:GATKTable:8:{len(rows2)}:%s:%d:%s:%s:%s:%.4f:%d:%.2f:;")
+    lines.append("#:GATKTable:RecalTable2:")
+    lines.append("ReadGroup\tQualityScore\tCovariateValue\tCovariateName\t"
+                 "EventType\tEmpiricalQuality\tObservations\tErrors")
+    for rg, q, cv, cn, ev, emp, obs, err in rows2:
+        lines.append(
+            f"{rg}\t{q}\t{cv}\t{cn}\t{ev}\t{emp:.4f}\t{obs}\t{err:.2f}")
+    lines.append("")
+
+    with open(path, "w") as f:
+        f.write(f"#:GATKReport.v1.1:{3}\n")
+        f.write("\n".join(lines))
+    return path
+
+
+def read_gatk_report(path: str) -> RecalTable:
+    """Parse a GATK-format recalibration report back into a RecalTable.
+
+    Context strings map onto the dinucleotide bins; cycle covariate
+    values are this engine's cycle bins (non-negative ints); rows with
+    unrecognized covariates are skipped."""
+    rgs: list[str] = []
+    rows1: list[tuple] = []
+    rows2: list[tuple] = []
+    section = None
+    with open(path) as f:
+        for line in f:
+            line = line.rstrip("\n")
+            if line.startswith("#:GATKTable:RecalTable"):
+                section = line.split(":")[2].rstrip(":")
+                continue
+            if line.startswith("#:") or not line.strip():
+                continue
+            if line.startswith("ReadGroup\t"):
+                continue
+            parts = line.split("\t")
+            if section == "RecalTable0":
+                if parts[0] not in rgs:
+                    rgs.append(parts[0])
+            elif section == "RecalTable1":
+                rows1.append((parts[0], int(parts[1]), float(parts[4]),
+                              float(parts[5])))
+            elif section == "RecalTable2":
+                rows2.append((parts[0], int(parts[1]), parts[2], parts[3],
+                              float(parts[6]), float(parts[7])))
+    table = RecalTable.zeros(rgs or ["default"])
+    gi = {rg: i for i, rg in enumerate(table.read_groups)}
+    for rg, q, obs, err in rows1:
+        g = gi.get(rg, 0)
+        table.qual_obs[g, q] += obs
+        table.qual_err[g, q] += err
+    for rg, q, cv, cn, obs, err in rows2:
+        g = gi.get(rg, 0)
+        if cn == "Context" and len(cv) == 2 and all(b in _BASES
+                                                    for b in cv):
+            c = _BASES.index(cv[0]) * 4 + _BASES.index(cv[1])
+            table.ctx_obs[g, q, c] += obs
+            table.ctx_err[g, q, c] += err
+        elif cn == "Cycle":
+            try:
+                cy = int(cv)
+            except ValueError:
+                continue
+            if 0 <= cy < MAX_CYCLE:
+                table.cycle_obs[g, q, cy] += obs
+                table.cycle_err[g, q, cy] += err
+    return table
 
 
 def _rg_array(cols, idx: np.ndarray,

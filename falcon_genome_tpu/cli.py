@@ -136,6 +136,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-i", "--input", required=True)
     p.add_argument("-L", "--intervals")
     p.add_argument("-S", "--sample-id", default="SAMPLE")
+    # ref worker-depth.cpp:29-35
+    p.add_argument("-g", "--geneList", dest="gene_list")
+    p.add_argument("-b", "--omitBaseOutput", dest="omit_base",
+                   action="store_true", default=None,
+                   help="omit per-base coverage output")
+    p.add_argument("--emitBaseOutput", dest="omit_base",
+                   action="store_false",
+                   help="write per-base coverage (large)")
+    p.add_argument("-v", "--omitIntervals", dest="omit_intervals",
+                   action="store_true")
+    p.add_argument("-s", "--omitSampleSummary", dest="omit_summary",
+                   action="store_true")
 
     p = sub.add_parser("vcf_filter")
     _base(p)
@@ -232,8 +244,15 @@ def dispatch(args: argparse.Namespace, conf) -> None:
     elif cmd == "gatk":
         _dispatch_gatk(conf, args.gatk_args)
     elif cmd == "depth":
+        # per-base output is on by default as in the reference (GATK
+        # DepthOfCoverage); -b/--omitBaseOutput turns it off
+        omit_base = args.omit_base if args.omit_base is not None else False
         stages.run_depth(conf, args.ref, args.input, args.output,
                          intervals=args.intervals, sample=args.sample_id,
+                         gene_list=args.gene_list,
+                         omit_base_output=omit_base,
+                         omit_intervals=args.omit_intervals,
+                         omit_sample_summary=args.omit_summary,
                          force=args.force)
     elif cmd == "vcf_filter":
         stages.run_vcf_filter(conf, args.ref, args.input, args.output,

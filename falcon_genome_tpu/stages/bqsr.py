@@ -18,12 +18,13 @@ from pathlib import Path
 
 from ..bqsr import (
     RecalModel, RecalTable, accumulate_table, apply_bqsr_columns,
-    extract_covariates_columns)
+    extract_covariates_columns, write_gatk_report)
 from ..config import Config
 from ..io.bam import write_bam_columns
 from ..io.vcf import read_vcf
 from ..pipeline.runner import PipelineRunner, stage
-from ..utils.common import check_input, check_output, get_contig_fname
+from ..utils.common import (
+    check_input, check_output, check_vcf_index, get_contig_fname)
 from .bamstages import BamInputSource
 from .common import interval_shards, load_fasta
 
@@ -33,6 +34,10 @@ log = logging.getLogger("falcon_genome_tpu")
 def _known_sites_set(paths: list[str], header) -> set[tuple[int, int]]:
     known: set[tuple[int, int]] = set()
     for p in paths:
+        # index freshness check (ref BQSRWorker.cpp:50-53 +
+        # config.cpp:776-824); strict for .gz (the .tbi is needed to
+        # stream), advisory for plain .vcf (native reader needs no .idx)
+        check_vcf_index(p, strict=str(p).endswith(".gz"))
         _, recs = read_vcf(check_input(p))
         for r in recs:
             tid = header.tid(r.contig)
@@ -71,7 +76,14 @@ def run_baserecal(conf: Config, ref: str, input_path: str, output: str,
     total = tables[0]
     for t in tables[1:]:
         total = total + t  # gather = addition (BQSRGatherWorker)
-    total.save(output)
+    if str(output).endswith(".npz"):
+        total.save(output)
+    else:
+        # the reference's interchange format: a GATK recalibration report
+        # (BQSRGatherWorker merges these; any GATK-era tool can read it);
+        # an .npz sidecar keeps reloads fast
+        write_gatk_report(total, output)
+        total.save(str(output) + ".npz")
     log.info("baserecal: %d observations → %s",
              int(total.qual_obs.sum()), output)
     return output

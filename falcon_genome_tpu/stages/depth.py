@@ -1,10 +1,25 @@
 """``depth`` stage: DepthOfCoverage scatter + in-process reduce.
 
 Mirrors src/worker-depth.cpp:16-148 — per-shard DepthWorker over the
-interval plan, then DepthCombineWorker's in-process merge of per-shard
-histogram tables (DepthCombineWorker.cpp:80-160: vector ``operator+`` keyed
-by sample).  Outputs the GATK-style ``.sample_summary`` plus a depth
-histogram ``.sample_statistics``.
+interval plan (with optional geneList intersection, DepthWorker.cpp:46-91)
+then DepthCombineWorker's in-process merge of per-shard tables keyed by
+sample with vector ``operator+`` (DepthCombineWorker.cpp:80-160).
+
+Output surface (GATK3 DepthOfCoverage analogs):
+  <out>                                per-base coverage (omitBaseOutput)
+  <out>.sample_summary                 per-sample mean/quartiles/%above
+  <out>.sample_statistics              per-sample depth histogram
+  <out>.sample_cumulative_coverage_counts / _proportions
+  <out>.sample_interval_summary        per-interval coverage (omitIntervals)
+  <out>.sample_gene_summary            per-gene coverage (geneList)
+
+Samples come from the BAM's read groups (RG SM tags); a BAM without read
+groups is one sample named by --sample-id.  The pileup itself is the
+vectorized diff-array (no per-read Python; VERDICT round-1 item 3).
+
+geneList format: one gene per line, ``name contig start end``
+(whitespace-separated, 1-based inclusive) — a flat simplification of the
+refseq table the reference forwards to GATK.
 """
 from __future__ import annotations
 
@@ -17,7 +32,7 @@ import numpy as np
 from ..config import Config
 from ..io.intervals import Interval
 from ..pipeline.runner import PipelineRunner, stage
-from ..utils.common import check_output
+from ..utils.common import check_input, check_output
 from .bamstages import BamInputSource
 from .calling import _shard_plan
 from .common import load_fasta
@@ -28,50 +43,166 @@ MAX_DEPTH_BIN = 500
 
 
 @dataclasses.dataclass
+class Gene:
+    name: str
+    contig: str
+    start: int   # 1-based inclusive
+    end: int
+
+
+def read_gene_list(path: str) -> list[Gene]:
+    genes = []
+    for i, line in enumerate(Path(check_input(path)).read_text()
+                             .splitlines(), 1):
+        if not line.strip() or line.startswith("#"):
+            continue
+        parts = line.split()
+        if len(parts) < 4:
+            raise ValueError(f"{path}:{i}: expected 'name contig start "
+                             f"end', got {line!r}")
+        genes.append(Gene(parts[0], parts[1], int(parts[2]),
+                          int(parts[3])))
+    return genes
+
+
+@dataclasses.dataclass
 class DepthShardResult:
-    total_depth: int
+    """Per-shard coverage tables; merge = keyed vector addition
+    (DepthCombineWorker.cpp:80-160)."""
+    samples: list[str]
+    histogram: dict[str, np.ndarray]       # sample -> depth counts
+    total: dict[str, int]                  # sample -> sum of depths
     n_positions: int
-    histogram: np.ndarray  # counts per depth 0..MAX_DEPTH_BIN
+    interval_rows: list[tuple]             # (contig, start, end, {s: tot})
+    gene_totals: dict[str, dict[str, int]]  # gene -> sample -> total
+    gene_lengths: dict[str, int]
+    base_file: str | None = None           # per-shard base coverage part
 
-    def __add__(self, other):
+    def __add__(self, other: "DepthShardResult") -> "DepthShardResult":
+        samples = list(dict.fromkeys(self.samples + other.samples))
+        hist = {s: (self.histogram.get(s, 0) + other.histogram.get(s, 0))
+                for s in samples}
+        total = {s: self.total.get(s, 0) + other.total.get(s, 0)
+                 for s in samples}
+        genes = dict(self.gene_totals)
+        for g, m in other.gene_totals.items():
+            cur = genes.setdefault(g, {})
+            for s, v in m.items():
+                cur[s] = cur.get(s, 0) + v
+        glen = {**self.gene_lengths, **other.gene_lengths}
+        for g, n in other.gene_lengths.items():
+            if g in self.gene_lengths:
+                glen[g] = self.gene_lengths[g] + n
         return DepthShardResult(
-            self.total_depth + other.total_depth,
-            self.n_positions + other.n_positions,
-            self.histogram + other.histogram)
+            samples, hist, total, self.n_positions + other.n_positions,
+            self.interval_rows + other.interval_rows, genes, glen)
 
 
-def _interval_depth(src: "BamInputSource", iv: Interval) -> np.ndarray:
-    """(len(iv),) per-position coverage, vectorized (diff-array pileup —
-    no per-read Python; VERDICT round-1 item 3)."""
+def _sample_of_records(cols, header, default: str) -> tuple[list[str],
+                                                            np.ndarray]:
+    """(samples, per-record sample index) from RG SM tags."""
+    rg_to_sm = {rg.get("ID", ""): rg.get("SM", default)
+                for rg in header.read_groups}
+    samples = sorted(set(rg_to_sm.values())) or [default]
+    if len(samples) <= 1:
+        return ([samples[0] if samples else default],
+                np.zeros(len(cols), np.int64))
+    from ..io.columns import tag_string_values
+    sm_index = {s: i for i, s in enumerate(samples)}
+    vals = tag_string_values(cols, b"RG")
+    idx = np.asarray(
+        [sm_index.get(rg_to_sm.get(v or "", default), 0) for v in vals],
+        np.int64)
+    return samples, idx
+
+
+def _interval_depths(src: BamInputSource, iv: Interval, header,
+                     default_sample: str
+                     ) -> tuple[list[str], np.ndarray]:
+    """(samples, (n_samples, len(iv)) coverage) — diff-array pileup."""
     from ..io.columns import F_ENDPOS, F_POS
     n = len(iv)
     cols = src.columns_for([iv])
+    samples, sidx = _sample_of_records(cols, header, default_sample)
     f = cols.fixed
     base = iv.start - 1
     lo = np.clip(f[:, F_POS].astype(np.int64), base, iv.end) - base
     hi = np.clip(f[:, F_ENDPOS].astype(np.int64), base, iv.end) - base
-    diff = np.zeros(n + 1, np.int64)
-    np.add.at(diff, lo, 1)
-    np.add.at(diff, hi, -1)
-    return np.cumsum(diff[:-1]).astype(np.int32)
+    depth = np.zeros((len(samples), n + 1), np.int64)
+    np.add.at(depth, (sidx, lo), 1)
+    np.add.at(depth, (sidx, hi), -1)
+    return samples, np.cumsum(depth[:, :-1], axis=1)
 
 
-def _shard_depth(src: "BamInputSource", shard: list[Interval],
-                 header) -> DepthShardResult:
-    total = 0
+def _shard_depth(src: BamInputSource, shard: list[Interval], header,
+                 default_sample: str, genes: list[Gene],
+                 emit_base: str | None,
+                 emit_intervals: bool) -> DepthShardResult:
+    all_samples: list[str] = []
+    hist: dict[str, np.ndarray] = {}
+    total: dict[str, int] = {}
     npos = 0
-    hist = np.zeros(MAX_DEPTH_BIN + 1, np.int64)
+    interval_rows: list[tuple] = []
+    gene_totals: dict[str, dict[str, int]] = {}
+    gene_lengths: dict[str, int] = {}
+    base_f = open(emit_base, "w") if emit_base else None
     for iv in shard:
-        depth = _interval_depth(src, iv)
-        total += int(depth.sum())
+        samples, depth = _interval_depths(src, iv, header, default_sample)
+        for s in samples:
+            if s not in all_samples:
+                all_samples.append(s)
+        tot_per_pos = depth.sum(axis=0)
         npos += len(iv)
-        hist += np.bincount(np.minimum(depth, MAX_DEPTH_BIN),
+        for si, s in enumerate(samples):
+            h = np.bincount(np.minimum(depth[si], MAX_DEPTH_BIN),
                             minlength=MAX_DEPTH_BIN + 1)
-    return DepthShardResult(total, npos, hist)
+            hist[s] = hist.get(s, 0) + h
+            total[s] = total.get(s, 0) + int(depth[si].sum())
+        if emit_intervals:
+            interval_rows.append((
+                iv.contig, iv.start, iv.end,
+                {s: int(depth[si].sum()) for si, s in enumerate(samples)}))
+        for g in genes:
+            if g.contig != iv.contig:
+                continue
+            lo = max(g.start, iv.start) - iv.start
+            hi = min(g.end, iv.end) - iv.start + 1
+            if lo >= hi:
+                continue
+            m = gene_totals.setdefault(g.name, {})
+            for si, s in enumerate(samples):
+                m[s] = m.get(s, 0) + int(depth[si, lo:hi].sum())
+            gene_lengths[g.name] = gene_lengths.get(g.name, 0) + (hi - lo)
+        if base_f is not None:
+            nsam = max(1, len(samples))
+            for off in range(len(iv)):
+                t = int(tot_per_pos[off])
+                cols_txt = "\t".join(str(int(depth[si, off]))
+                                     for si in range(len(samples)))
+                base_f.write(f"{iv.contig}:{iv.start + off}\t{t}\t"
+                             f"{t / nsam:.2f}\t{cols_txt}\n")
+    if base_f is not None:
+        base_f.close()
+    return DepthShardResult(all_samples, hist, total, npos, interval_rows,
+                            gene_totals, gene_lengths, emit_base)
+
+
+def _granular_quartiles(hist: np.ndarray) -> tuple[int, int, int]:
+    """(Q1, median, Q3) of the per-position depth distribution."""
+    c = np.cumsum(hist)
+    n = c[-1]
+    if n == 0:
+        return 0, 0, 0
+    return tuple(int(np.searchsorted(c, q * n, side="left"))
+                 for q in (0.25, 0.5, 0.75))
 
 
 def run_depth(conf: Config, ref: str, input_path: str, output: str,
               intervals: str | None = None, sample: str = "SAMPLE",
+              gene_list: str | None = None,
+              omit_base_output: bool = True,
+              omit_intervals: bool = False,
+              omit_sample_summary: bool = False,
               thresholds: tuple[int, ...] = (1, 10, 15, 30),
               force: bool = False) -> str:
     output = check_output(output, force)
@@ -79,10 +210,22 @@ def run_depth(conf: Config, ref: str, input_path: str, output: str,
     src = BamInputSource.from_conf(conf, input_path)
     header = src.header
     shards = _shard_plan(conf, fa, intervals)
+    genes = read_gene_list(gene_list) if gene_list else []
 
     runner = PipelineRunner("Depth of Coverage", force=True)
-    tasks = [(lambda s=s: _shard_depth(src, s, header))
-             for s in shards if s]
+    base_dir = None
+    if not omit_base_output:
+        base_dir = Path(str(output) + ".parts")
+        base_dir.mkdir(parents=True, exist_ok=True)
+
+    def one(s, idx):
+        emit_base = (str(base_dir / f"part-{idx:06d}.cov")
+                     if base_dir is not None else None)
+        return _shard_depth(src, s, header, sample, genes, emit_base,
+                            not omit_intervals)
+
+    tasks = [(lambda s=s, i=i: one(s, i))
+             for i, s in enumerate(shards) if s]
     (parts,) = runner.run([stage(
         "DepthOfCoverage", tasks,
         nprocs=conf.get("gatk.depth.nprocs"))]).values()
@@ -91,25 +234,95 @@ def run_depth(conf: Config, ref: str, input_path: str, output: str,
     for p in parts[1:]:
         combined = combined + p  # DepthCombineWorker reduce
 
-    mean = combined.total_depth / max(1, combined.n_positions)
-    cum = np.cumsum(combined.histogram[::-1])[::-1]
-    pct_above = {t: 100.0 * cum[t] / max(1, combined.n_positions)
-                 for t in thresholds}
+    samples = combined.samples or [sample]
+    out = Path(output)
 
-    summary = Path(str(output) + ".sample_summary")
-    with open(summary, "w") as f:
-        cols = ["sample_id", "total", "mean"] + \
-            [f"%_bases_above_{t}" for t in thresholds]
-        f.write("\t".join(cols) + "\n")
-        f.write("\t".join(
-            [sample, str(combined.total_depth), f"{mean:.2f}"]
-            + [f"{pct_above[t]:.1f}" for t in thresholds]) + "\n")
-    stats = Path(str(output) + ".sample_statistics")
-    with open(stats, "w") as f:
-        f.write("depth\tcount\n")
-        for d, c in enumerate(combined.histogram):
-            if c:
-                f.write(f"{d}\t{int(c)}\n")
-    log.info("depth: mean %.2f over %d positions → %s",
-             mean, combined.n_positions, summary)
-    return str(summary)
+    if not omit_base_output:
+        with open(out, "w") as f:
+            f.write("Locus\tTotal_Depth\tAverage_Depth_sample\t"
+                    + "\t".join(f"Depth_for_{s}" for s in samples) + "\n")
+            for p in parts:
+                if p.base_file and Path(p.base_file).exists():
+                    f.write(Path(p.base_file).read_text())
+
+    if not omit_sample_summary:
+        with open(str(out) + ".sample_summary", "w") as f:
+            cols = ["sample_id", "total", "mean",
+                    "granular_third_quartile", "granular_median",
+                    "granular_first_quartile"] + \
+                [f"%_bases_above_{t}" for t in thresholds]
+            f.write("\t".join(cols) + "\n")
+            npos = max(1, combined.n_positions)
+            for s in samples:
+                h = np.asarray(combined.histogram.get(
+                    s, np.zeros(MAX_DEPTH_BIN + 1)))
+                q1, med, q3 = _granular_quartiles(h)
+                cum = np.cumsum(h[::-1])[::-1]
+                f.write("\t".join(
+                    [s, str(combined.total.get(s, 0)),
+                     f"{combined.total.get(s, 0) / npos:.2f}",
+                     str(q3), str(med), str(q1)]
+                    + [f"{100.0 * cum[t] / npos:.1f}"
+                       for t in thresholds]) + "\n")
+
+        with open(str(out) + ".sample_statistics", "w") as f:
+            f.write("Source_of_reads\t" + "\t".join(
+                f"depth_{d}" for d in range(MAX_DEPTH_BIN + 1)) + "\n")
+            for s in samples:
+                h = np.asarray(combined.histogram.get(
+                    s, np.zeros(MAX_DEPTH_BIN + 1)), np.int64)
+                f.write(f"sample_{s}\t" + "\t".join(map(str, h.tolist()))
+                        + "\n")
+
+        cum_rows = {}
+        for s in samples:
+            h = np.asarray(combined.histogram.get(
+                s, np.zeros(MAX_DEPTH_BIN + 1)), np.int64)
+            cum_rows[s] = np.cumsum(h[::-1])[::-1]  # ≥ depth counts
+        with open(str(out) + ".sample_cumulative_coverage_counts",
+                  "w") as f:
+            f.write("Source_of_reads\t" + "\t".join(
+                f"gte_{d}" for d in range(MAX_DEPTH_BIN + 1)) + "\n")
+            for s in samples:
+                f.write(f"sample_{s}\t" + "\t".join(
+                    map(str, cum_rows[s].tolist())) + "\n")
+        with open(str(out) + ".sample_cumulative_coverage_proportions",
+                  "w") as f:
+            f.write("Source_of_reads\t" + "\t".join(
+                f"gte_{d}" for d in range(MAX_DEPTH_BIN + 1)) + "\n")
+            for s in samples:
+                mx = max(1, int(cum_rows[s].max()))
+                vals = cum_rows[s] / mx
+                vals = np.where(vals < 0.01, 0.0, vals)
+                f.write(f"sample_{s}\t" + "\t".join(
+                    f"{v:.2f}" for v in vals.tolist()) + "\n")
+
+    if not omit_intervals:
+        with open(str(out) + ".sample_interval_summary", "w") as f:
+            f.write("Target\ttotal_coverage\taverage_coverage\t" + "\t".join(
+                f"{s}_total_cvg" for s in samples) + "\n")
+            for contig, start, end, per_s in sorted(combined.interval_rows):
+                tot = sum(per_s.values())
+                n = max(1, end - start + 1)
+                f.write(f"{contig}:{start}-{end}\t{tot}\t{tot / n:.2f}\t"
+                        + "\t".join(str(per_s.get(s, 0)) for s in samples)
+                        + "\n")
+
+    if genes:
+        with open(str(out) + ".sample_gene_summary", "w") as f:
+            f.write("Gene\ttotal_cvg\taverage_cvg\t" + "\t".join(
+                f"{s}_total_cvg" for s in samples) + "\n")
+            for g in genes:
+                m = combined.gene_totals.get(g.name, {})
+                tot = sum(m.values())
+                glen = max(1, combined.gene_lengths.get(g.name, 0))
+                f.write(f"{g.name}\t{tot}\t{tot / glen:.2f}\t"
+                        + "\t".join(str(m.get(s, 0)) for s in samples)
+                        + "\n")
+
+    mean = (sum(combined.total.values())
+            / max(1, combined.n_positions * max(1, len(samples))))
+    log.info("depth: mean %.2f over %d positions, %d sample(s) → %s",
+             mean, combined.n_positions, len(samples), output)
+    return str(out) + (".sample_summary" if not omit_sample_summary
+                       else "")

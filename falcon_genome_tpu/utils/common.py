@@ -49,6 +49,36 @@ def check_input(path: str | os.PathLike, required: bool = True) -> str:
     return str(p.absolute())
 
 
+def check_vcf_index(vcf_path: str, strict: bool = True) -> str:
+    """Known-sites VCF index freshness check (ref config.cpp:776-824).
+
+    ``.vcf`` expects ``.idx``, ``.gz`` expects ``.tbi`` (other extensions
+    error); a missing index raises FileNotFound; an index older than the
+    VCF gets its mtime touched to now (the reference does this so GATK
+    doesn't stall re-indexing).  ``strict=False`` downgrades the
+    missing-index error to a warning — this engine's plain-VCF reader
+    does not need a tribble ``.idx`` to run.
+    """
+    ext = Path(vcf_path).suffix
+    if ext == ".vcf":
+        idx = str(vcf_path) + ".idx"
+    elif ext == ".gz":
+        idx = str(vcf_path) + ".tbi"
+    else:
+        log.error("Unrecognized index extension for %s", vcf_path)
+        raise SilentExit()
+    if not Path(idx).exists():
+        if strict:
+            raise FileNotFound(f"VCF index file {idx} does not exist")
+        log.warning("VCF index %s missing (tolerated: native VCF reader)",
+                    idx)
+        return str(vcf_path)
+    if os.path.getmtime(vcf_path) > os.path.getmtime(idx):
+        log.info("VCF index outdated, touching: %s", idx)
+        os.utime(idx, None)
+    return str(vcf_path)
+
+
 def check_output(path: str | os.PathLike, force: bool = False,
                  require_write: bool = True) -> str:
     """Validate an output path; delete existing output if ``force``.

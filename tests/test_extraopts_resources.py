@@ -105,6 +105,84 @@ class TestExtraOptsStageOverride:
         assert seen["extra_opts"] == ["-ERC NONE -stand_call_conf 30"]
 
 
+class TestGatkReport:
+    def test_roundtrip(self, rng, tmp_path):
+        from falcon_genome_tpu.bqsr import (
+            RecalModel, baserecal_table, read_gatk_report,
+            write_gatk_report)
+        from falcon_genome_tpu.io.dna import decode_seq
+        from falcon_genome_tpu.io.sam import SamRecord, cigar_from_str
+        ref = rng.integers(0, 4, 800).astype(np.uint8)
+        recs = []
+        for i in range(120):
+            pos = int(rng.integers(0, 740))
+            seq = ref[pos:pos + 60].copy()
+            err = rng.random(60) < 0.03
+            seq = np.where(err, (seq + 1) % 4, seq)
+            q = (rng.integers(10, 40, 60) + 33).astype(np.uint8)
+            r = SamRecord(f"r{i}", 0, 0, pos, 60, cigar_from_str("60M"),
+                          seq=decode_seq(seq),
+                          qual=q.tobytes().decode("latin1"))
+            r.set_tag("RG", "Z", "rgA")
+            recs.append(r)
+        table = baserecal_table(recs, {0: ref}, ["rgA"])
+        path = str(tmp_path / "recal.table")
+        write_gatk_report(table, path)
+        txt = open(path).read()
+        assert txt.startswith("#:GATKReport.v1.1")
+        for t in ("RecalTable0", "RecalTable1", "RecalTable2"):
+            assert t in txt
+        got = read_gatk_report(path)
+        assert got.read_groups == ["rgA"]
+        np.testing.assert_allclose(got.qual_obs, table.qual_obs)
+        np.testing.assert_allclose(got.qual_err, table.qual_err, atol=0.01)
+        np.testing.assert_allclose(got.ctx_obs, table.ctx_obs)
+        np.testing.assert_allclose(got.cycle_obs, table.cycle_obs)
+        # the refit model from the report matches the original
+        m1 = RecalModel.fit(table)
+        m2 = RecalModel.fit(got)
+        np.testing.assert_allclose(m2.global_delta, m1.global_delta,
+                                   atol=0.01)
+
+    def test_recaltable_load_autodetects(self, tmp_path):
+        from falcon_genome_tpu.bqsr import (
+            RecalTable, write_gatk_report)
+        t = RecalTable.zeros(["rg0"])
+        t.qual_obs[0, 30] = 100
+        t.qual_err[0, 30] = 1
+        path = str(tmp_path / "r.table")
+        write_gatk_report(t, path)
+        got = RecalTable.load(path)
+        assert got.qual_obs[0, 30] == 100
+
+
+class TestCheckVcfIndex:
+    def test_missing_index_raises(self, tmp_path):
+        from falcon_genome_tpu.utils.common import check_vcf_index
+        from falcon_genome_tpu.utils.errors import FileNotFound, SilentExit
+        v = tmp_path / "k.vcf"
+        v.write_text("##fileformat=VCFv4.2\n")
+        with pytest.raises(FileNotFound):
+            check_vcf_index(str(v), strict=True)
+        # lenient mode only warns
+        check_vcf_index(str(v), strict=False)
+        with pytest.raises(SilentExit):
+            check_vcf_index(str(tmp_path / "k.bcf"))
+
+    def test_stale_index_touched(self, tmp_path):
+        import os
+        from falcon_genome_tpu.utils.common import check_vcf_index
+        v = tmp_path / "k.vcf"
+        idx = tmp_path / "k.vcf.idx"
+        idx.write_text("")
+        v.write_text("##fileformat=VCFv4.2\n")
+        past = 1_000_000_000
+        os.utime(idx, (past, past))
+        os.utime(v, (past + 100, past + 100))
+        check_vcf_index(str(v))
+        assert os.path.getmtime(idx) >= os.path.getmtime(v)
+
+
 def _vcf(tmp_path, name, rows, contigs=(("chr1", 10000),)):
     from falcon_genome_tpu.io.vcf import VcfHeader, write_vcf
     header = VcfHeader(contigs=list(contigs), samples=[], meta=[

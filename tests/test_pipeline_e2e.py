@@ -184,6 +184,57 @@ class TestDownstreamStages:
         mean = float(text.splitlines()[1].split("\t")[2])
         assert 10 < mean < 40  # ~100*2*2/9 ≈ 22x expected
 
+    def test_depth_full_surface(self, world, conf, aligned_bam, tmp_path):
+        """geneList + per-base + interval + cumulative outputs
+        (DepthWorker.cpp:46-91, DepthCombineWorker.cpp:80-160)."""
+        genes = tmp_path / "genes.list"
+        genes.write_text("GENE1 chr1 900 1200\nGENE2 chr2 700 900\n")
+        out = tmp_path / "depthfull"
+        stages.run_depth(conf, world["ref"], aligned_bam, str(out),
+                         sample="s1", gene_list=str(genes),
+                         omit_base_output=False, omit_intervals=False,
+                         force=True)
+        # per-base coverage: Locus lines with the sample column
+        base = Path(str(out)).read_text().splitlines()
+        assert base[0].startswith("Locus\tTotal_Depth")
+        assert "Depth_for_s1" in base[0]
+        locus, depth = base[1000].split("\t")[:2]
+        assert ":" in locus and int(depth) >= 0
+        # gene summary: both genes with plausible coverage
+        gene_lines = Path(str(out) + ".sample_gene_summary") \
+            .read_text().splitlines()
+        rows = {ln.split("\t")[0]: ln.split("\t") for ln in gene_lines[1:]}
+        assert set(rows) == {"GENE1", "GENE2"}
+        assert 5 < float(rows["GENE1"][2]) < 50   # avg cvg ~22x
+        # interval summary has one row per shard interval
+        intv = Path(str(out) + ".sample_interval_summary") \
+            .read_text().splitlines()
+        assert len(intv) > 2
+        # cumulative counts monotone nonincreasing; proportions in [0,1]
+        cc = Path(str(out) + ".sample_cumulative_coverage_counts") \
+            .read_text().splitlines()
+        vals = [int(x) for x in cc[1].split("\t")[1:]]
+        assert all(a >= b for a, b in zip(vals, vals[1:]))
+        props = Path(str(out) + ".sample_cumulative_coverage_proportions") \
+            .read_text().splitlines()
+        pv = [float(x) for x in props[1].split("\t")[1:]]
+        assert max(pv) <= 1.0 and pv[0] == 1.0
+        # statistics histogram sums to n_positions per sample
+        st = Path(str(out) + ".sample_statistics").read_text().splitlines()
+        assert st[1].startswith("sample_s1\t")
+
+    def test_depth_cli_flags(self, world, conf, aligned_bam, tmp_path,
+                             monkeypatch):
+        import falcon_genome_tpu.config as config_mod
+        monkeypatch.setattr(config_mod, "init", lambda: conf)
+        out = tmp_path / "depthcli"
+        rc = cli.main(["depth", "-r", world["ref"], "-i", aligned_bam,
+                       "-o", str(out), "-b", "-v", "-S", "s1", "-f"])
+        assert rc == 0
+        assert not Path(str(out)).exists()          # -b omits base output
+        assert not Path(str(out) + ".sample_interval_summary").exists()
+        assert Path(str(out) + ".sample_summary").exists()
+
     def test_vcf_filter(self, world, conf, aligned_bam, tmp_path):
         src = world["tmp"] / "calls.vcf"
         out = tmp_path / "filtered.vcf"
