@@ -254,7 +254,7 @@ def run_align(conf: Config, ref: str, output: str,
             log.info("align[%s]: bucket-spill dataflow (%d buckets, "
                      "%.1f GB FASTQ)", sid, sink.nb, fastq_bytes / 1e9)
 
-        runner = PipelineRunner(f"align[{sid}]", force=True)
+        runner = PipelineRunner.from_conf(f"align[{sid}]", conf, force=True)
         align_stage = stage(
             "bwa mem alignment",
             [(lambda d=d: _align_read_group(engine, d, batch_size, sink))

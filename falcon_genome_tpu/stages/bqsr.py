@@ -62,7 +62,8 @@ def run_baserecal(conf: Config, ref: str, input_path: str, output: str,
     known = _known_sites_set(known_sites or [], header)
 
     shards = interval_shards(conf, fa)
-    runner = PipelineRunner("Base Recalibration", force=True)
+    runner = PipelineRunner.from_conf("Base Recalibration", conf,
+                                      force=True)
 
     def one(shard):
         cov = extract_covariates_columns(
@@ -103,7 +104,10 @@ def run_printreads(conf: Config, ref: str, input_path: str, table: str,
 
     shards = interval_shards(conf, fa)
     out_is_dir = Path(output).suffix != ".bam"
-    runner = PipelineRunner("Print Reads", force=True)
+    runner = PipelineRunner.from_conf("Print Reads", conf,
+                                      force=force or not out_is_dir)
+    part_paths = ([get_contig_fname(output, i, "bam")
+                   for i in range(len(shards))] if out_is_dir else [])
 
     def one(shard, idx):
         # by_start: a partition — boundary-spanning reads are emitted by
@@ -111,9 +115,14 @@ def run_printreads(conf: Config, ref: str, input_path: str, table: str,
         cols = apply_bqsr_columns(src.columns_for(shard, by_start=True),
                                   model, rg_index)
         if out_is_dir:
+            import os
             Path(output).mkdir(parents=True, exist_ok=True)
-            path = get_contig_fname(output, idx, "bam")
-            write_bam_columns(path, header, cols)
+            path = part_paths[idx]
+            tmp = path + ".tmp.bam"
+            write_bam_columns(tmp, header, cols)
+            if Path(tmp + ".bai").exists():
+                os.replace(tmp + ".bai", path + ".bai")
+            os.replace(tmp, path)
             # sidecar .list with the shard's regions (PRWorker writes
             # .bed/.list shard metadata, BQSRWorker.cpp:180-228)
             from ..io.intervals import write_interval_list
@@ -123,7 +132,8 @@ def run_printreads(conf: Config, ref: str, input_path: str, table: str,
 
     tasks = [(lambda s=s, i=i: one(s, i)) for i, s in enumerate(shards)]
     (results,) = runner.run([stage(
-        "PrintReads", tasks, nprocs=conf.get("gatk.pr.nprocs"))]).values()
+        "PrintReads", tasks, outputs=part_paths,
+        nprocs=conf.get("gatk.pr.nprocs"))]).values()
     if not out_is_dir:
         from ..io.columns import RecordColumns
         merged = RecordColumns.concat(

@@ -39,6 +39,16 @@ def _user_intervals(conf: Config, intervals: str | None, fa):
     return read_interval_list(intervals, fa.dict)
 
 
+def _write_part(path: str, header: VcfHeader, recs) -> str:
+    """Atomic per-shard VCF write (tmp + rename): a crashed task never
+    leaves a half-written part that resume would trust."""
+    import os
+    tmp = str(path) + ".tmp"
+    write_vcf(tmp, header, recs)
+    os.replace(tmp, path)
+    return str(path)
+
+
 def _shard_plan(conf: Config, fa, intervals: str | None
                 ) -> list[list[Interval]]:
     shards = interval_shards(conf, fa)
@@ -98,6 +108,8 @@ def run_htc(conf: Config, ref: str, input_path: str, output: str,
     part_dir = Path(output).parent / (Path(output).name + ".parts")
     part_dir.mkdir(parents=True, exist_ok=True)
     ext = "gvcf" if emit_gvcf else "vcf"
+    part_paths = [get_contig_fname(part_dir, i, ext)
+                  for i in range(len(shards))]
 
     def one(shard, idx):
         recs = []
@@ -106,14 +118,13 @@ def run_htc(conf: Config, ref: str, input_path: str, output: str,
             sub = src.records_for([iv])
             recs.extend(hc.call_interval(
                 sub, contig_codes, iv.contig, iv.start - 1, iv.end))
-        path = get_contig_fname(part_dir, idx, ext)
-        write_vcf(path, vcf_header, recs)
-        return path
+        return _write_part(part_paths[idx], vcf_header, recs)
 
-    runner = PipelineRunner("Haplotype Caller", force=True)
+    runner = PipelineRunner.from_conf("Haplotype Caller", conf,
+                                      force=force)
     tasks = [(lambda s=s, i=i: one(s, i)) for i, s in enumerate(shards)]
     (parts,) = runner.run([stage(
-        "HaplotypeCaller", tasks,
+        "HaplotypeCaller", tasks, outputs=part_paths,
         nprocs=conf.get("gatk.htc.nprocs"))]).values()
     concat_vcfs(parts, output, sort=False)  # shards are in genome order
     log.info("htc → %s", output)
@@ -172,6 +183,8 @@ def run_mutect2(conf: Config, ref: str, tumor_path: str, output: str,
             '"negative log10 population allele frequency">')
     part_dir = Path(output).parent / (Path(output).name + ".parts")
     part_dir.mkdir(parents=True, exist_ok=True)
+    part_paths = [get_contig_fname(part_dir, i, "vcf")
+                  for i in range(len(shards))]
 
     def one(shard, idx):
         recs = []
@@ -186,14 +199,13 @@ def run_mutect2(conf: Config, ref: str, tumor_path: str, output: str,
         if run_filter:
             recs = filter_mutect_calls(
                 recs, contamination=res.contamination)
-        path = get_contig_fname(part_dir, idx, "vcf")
-        write_vcf(path, vcf_header, recs)
-        return path
+        return _write_part(part_paths[idx], vcf_header, recs)
 
-    runner = PipelineRunner("Mutect2", force=True)
+    runner = PipelineRunner.from_conf("Mutect2", conf, force=force)
     tasks = [(lambda s=s, i=i: one(s, i)) for i, s in enumerate(shards)]
     (parts,) = runner.run([stage(
-        "Mutect2", tasks, nprocs=conf.get("gatk.mutect2.nprocs"))]).values()
+        "Mutect2", tasks, outputs=part_paths,
+        nprocs=conf.get("gatk.mutect2.nprocs"))]).values()
     concat_vcfs(parts, output, sort=False)
     log.info("mutect2 → %s", output)
     return output
@@ -221,6 +233,8 @@ def run_ug(conf: Config, ref: str, input_path: str, output: str,
     vcf_header = _vcf_header(fa, [sample])
     part_dir = Path(output).parent / (Path(output).name + ".parts")
     part_dir.mkdir(parents=True, exist_ok=True)
+    part_paths = [get_contig_fname(part_dir, i, "vcf")
+                  for i in range(len(shards))]
 
     def one(shard, idx):
         recs = []
@@ -229,14 +243,13 @@ def run_ug(conf: Config, ref: str, input_path: str, output: str,
             sub = src.records_for([iv])
             recs.extend(call_pileup(sub, codes, iv.contig,
                                     iv.start - 1, iv.end, ug_params))
-        path = get_contig_fname(part_dir, idx, "vcf")
-        write_vcf(path, vcf_header, recs)
-        return path
+        return _write_part(part_paths[idx], vcf_header, recs)
 
-    runner = PipelineRunner("Unified Genotyper", force=True)
+    runner = PipelineRunner.from_conf("Unified Genotyper", conf,
+                                      force=force)
     tasks = [(lambda s=s, i=i: one(s, i)) for i, s in enumerate(shards)]
     (parts,) = runner.run([stage(
-        "UnifiedGenotyper", tasks,
+        "UnifiedGenotyper", tasks, outputs=part_paths,
         nprocs=conf.get("gatk.ug.nprocs"))]).values()
     concat_vcfs(parts, output, sort=False)
     log.info("ug → %s", output)

@@ -212,7 +212,8 @@ def run_depth(conf: Config, ref: str, input_path: str, output: str,
     shards = _shard_plan(conf, fa, intervals)
     genes = read_gene_list(gene_list) if gene_list else []
 
-    runner = PipelineRunner("Depth of Coverage", force=True)
+    runner = PipelineRunner.from_conf("Depth of Coverage", conf,
+                                      force=True)
     base_dir = None
     if not omit_base_output:
         base_dir = Path(str(output) + ".parts")

@@ -17,7 +17,12 @@ def _scrape_one(path: str) -> str:
         lines = Path(path).read_text(errors="replace").splitlines()
     except OSError:
         return ""
+    lines = [ln for ln in lines if ln.strip()]
     hits = [ln for ln in lines if any(m in ln for m in _ERROR_MARKERS)]
+    # a Python traceback's operative message is its LAST line (the
+    # exception repr) — include it alongside the marker lines
+    if lines and hits and lines[-1] not in hits:
+        hits.append(lines[-1])
     if hits:
         return "\n".join(hits[-8:])
     return lines[-1] if lines else ""
