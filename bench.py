@@ -1,5 +1,6 @@
 #!/usr/bin/env python
-"""Headline benchmark: PairHMM forward throughput (GCUPS) on one chip.
+"""Headline benchmark: PairHMM forward throughput (GCUPS) on one chip,
+plus the wider driver-captured envelope in ``extras``.
 
 PairHMM is the metric the reference's whole acceleration story is built
 around (the Blaze NAM FPGA serves it to GATK — SURVEY.md §2 row 25), and
@@ -7,15 +8,26 @@ BASELINE.md names PairHMM GCUPS as a north-star metric.  Baseline constant:
 20 GCUPS ≈ the FPGA-accelerated PairHMM service class the reference deploys
 (and ~2-4× a well-tuned AVX512 CPU implementation).
 
-Methodology: the kernel runs N times inside one jitted on-device loop with
+``extras`` (BASELINE.md north-star table rows 1-2):
+  sw_score_gcups      — Smith-Waterman score-only kernel (the aligner's
+                        candidate-ranking pass, ops/smith_waterman.py)
+  pairhmm_mesh_gcups  — the SAME PairHMM dispatched through the production
+                        shard_map mesh path (ops/pairhmm.py::_pairhmm_sharded)
+                        over all attached chips; proves mesh routing holds
+                        kernel-rate performance
+  align_reads_per_s   — aligner engine end-to-end (5k × 150 bp reads vs a
+                        1 Mb genome, 1% error, mixed strand), reads/s
+
+Methodology: each kernel runs N times inside one jitted on-device loop with
 a data dependency between iterations (no hoisting), and the measurement
 syncs by transferring the result to host — on the remote-tunnel TPU
 transport, ``block_until_ready`` acknowledges enqueue rather than
 completion, and per-call dispatch latency would otherwise dominate.
 
-Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline", "extras"}.
 """
 import json
+import sys
 import time
 
 import numpy as np
@@ -28,27 +40,19 @@ BUCKET_R, BUCKET_H = 160, 384
 N_INNER = 20
 
 
-def main() -> None:
-    import jax
+def _timed_loop(loop, args, n_inner, n_outer=3):
+    """Best per-call seconds of a jitted fori_loop, synced via host copy."""
+    np.asarray(loop(*args))  # compile + warm
+    best = float("inf")
+    for _ in range(n_outer):
+        t0 = time.perf_counter()
+        np.asarray(loop(*args))
+        best = min(best, time.perf_counter() - t0)
+    return best / n_inner
+
+
+def _pairhmm_inputs(rng):
     import jax.numpy as jnp
-    from falcon_genome_tpu.ops.pairhmm import (
-        PairHMMParams, _pairhmm_device, _pairhmm_jax)
-
-    # consecutive short-lived processes contend on the remote-TPU tunnel
-    # lease; first contact can fail transiently — retry before giving up
-    backend = None
-    for attempt in range(4):
-        try:
-            backend = jax.default_backend()
-            break
-        except RuntimeError:
-            if attempt == 3:
-                raise
-            time.sleep(20 * (attempt + 1))
-    params = PairHMMParams(max_read_len=BUCKET_R, max_hap_len=BUCKET_H,
-                           backend="pallas" if backend == "tpu" else "jax")
-
-    rng = np.random.default_rng(0)
     read = np.full((BUCKET_R, B), 4, np.int32)
     hap = np.full((BUCKET_H, B), 4, np.int32)
     hap[:H_REAL] = rng.integers(0, 4, (H_REAL, B))
@@ -60,12 +64,11 @@ def main() -> None:
     q = np.full((BUCKET_R, B), 30, np.int32)
     rlen = np.full((1, B), R_REAL, np.int32)
     hlen = np.full((1, B), H_REAL, np.int32)
+    return tuple(jnp.asarray(a) for a in (read, q, rlen, hap, hlen))
 
-    read_d = jnp.asarray(read)
-    hap_d = jnp.asarray(hap)
-    q_d = jnp.asarray(q)
-    rlen_d = jnp.asarray(rlen)
-    hlen_d = jnp.asarray(hlen)
+
+def bench_pairhmm(jax, jnp, params, args):
+    from falcon_genome_tpu.ops.pairhmm import _pairhmm_device, _pairhmm_jax
 
     @jax.jit
     def loop(read, q, rlen, hap, hlen):
@@ -82,21 +85,148 @@ def main() -> None:
         return jax.lax.fori_loop(0, N_INNER, body,
                                  jnp.zeros((B,), jnp.float32))
 
-    np.asarray(loop(read_d, q_d, rlen_d, hap_d, hlen_d))  # compile+warm
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        np.asarray(loop(read_d, q_d, rlen_d, hap_d, hlen_d))
-        best = min(best, time.perf_counter() - t0)
-    per_call = best / N_INNER
+    per_call = _timed_loop(loop, args, N_INNER)
+    return float(B) * R_REAL * H_REAL / per_call / 1e9
 
-    cells = float(B) * R_REAL * H_REAL
-    gcups = cells / per_call / 1e9
+
+def bench_pairhmm_mesh(jax, jnp, params, args):
+    """PairHMM through the production shard_map dispatch (the path every
+    caller stage uses when tpu.mesh.* is configured) over all chips."""
+    from falcon_genome_tpu.ops.pairhmm import _pairhmm_sharded
+    from falcon_genome_tpu.parallel.mesh import MeshSpec, make_mesh
+
+    devices = jax.devices()
+    mesh = make_mesh(MeshSpec(data=len(devices), region=1), devices)
+    read, q, rlen, hap, hlen = args
+    sharded = _pairhmm_sharded(mesh, params, BUCKET_R, BUCKET_H)
+
+    @jax.jit
+    def loop(read, q, rlen, hap, hlen):
+        def body(_, acc):
+            r2 = jnp.where(acc[0] > 1e30, read + 1, read)
+            return acc + sharded(r2, q, q, q, q, rlen, hlen, hap)
+        return jax.lax.fori_loop(0, N_INNER, body,
+                                 jnp.zeros((B,), jnp.float32))
+
+    per_call = _timed_loop(loop, args, N_INNER)
+    return (float(B) * R_REAL * H_REAL / per_call / 1e9, len(devices))
+
+
+def bench_sw_score(jax, jnp, backend, rng):
+    """Score-only SW kernel: the aligner's candidate-ranking pass."""
+    from falcon_genome_tpu.ops.smith_waterman import (
+        _sw_pallas_score, _sw_scan_core)
+    from falcon_genome_tpu.ops.sw_ref import SWParams
+
+    R, W, Bsw = 160, 416, 2048
+    rl, wl = 150, 400
+    win = np.full((W, Bsw), 4, np.int32)
+    win[:wl] = rng.integers(0, 4, (wl, Bsw))
+    read = np.full((R, Bsw), 4, np.int32)
+    for b in range(Bsw):
+        s = rng.integers(0, wl - rl + 1)
+        read[:rl, b] = win[s:s + rl, b]
+    mut = rng.random((rl, Bsw)) < 0.01
+    read[:rl] = np.where(mut, (read[:rl] + 1) % 4, read[:rl])
+    rlen = np.full((1, Bsw), rl, np.int32)
+    wlen = np.full((1, Bsw), wl, np.int32)
+    params = SWParams()
+
+    @jax.jit
+    def loop(read, rlen, win, wlen):
+        def body(_, acc):
+            r2 = jnp.where(acc[0] > 10 ** 8, read + 1, read)
+            if backend == "tpu":
+                score, _ = _sw_pallas_score(r2, rlen, win, wlen, params)
+            else:
+                _, score, _ = _sw_scan_core(r2, rlen, win, wlen,
+                                            params=params, R=R, W=W)
+            return acc + score[0]
+        return jax.lax.fori_loop(0, N_INNER, body,
+                                 jnp.zeros((Bsw,), jnp.int32))
+
+    args = tuple(jnp.asarray(a) for a in (read, rlen, win, wlen))
+    per_call = _timed_loop(loop, args, N_INNER)
+    return float(Bsw) * rl * wl / per_call / 1e9
+
+
+def bench_align(rng):
+    """Aligner engine throughput: 5k × 150 bp reads vs a 1 Mb genome."""
+    from falcon_genome_tpu.aligner import (
+        AlignerEngine, AlignerParams, IndexParams, MinimizerIndex)
+    from falcon_genome_tpu.io.dna import revcomp_codes
+
+    genome_len, n, L = 1_000_000, 5000, 150
+    chrom = rng.integers(0, 4, genome_len).astype(np.uint8)
+    idx = MinimizerIndex([("chr1", chrom)], IndexParams(k=17, w=7))
+    reads = np.zeros((n, L), np.uint8)
+    for i in range(n):
+        p = rng.integers(0, genome_len - L)
+        r = chrom[p:p + L].copy()
+        mut = rng.random(L) < 0.01
+        r = np.where(mut, (r + rng.integers(1, 4, L)) % 4, r).astype(np.uint8)
+        reads[i] = revcomp_codes(r) if rng.random() < 0.5 else r
+    lens = np.full(n, L, np.int32)
+    eng = AlignerEngine(idx, AlignerParams())
+    eng.align_batch(reads[:64], lens[:64])   # compile SW buckets
+    eng.align_batch(reads, lens)             # warm steady-state shapes
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        res = eng.align_batch(reads, lens)
+        best = min(best, time.perf_counter() - t0)
+    mapped = sum(a.mapped for a in res) / n
+    return n / best, mapped
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+    from falcon_genome_tpu.ops.pairhmm import PairHMMParams
+
+    # consecutive short-lived processes contend on the remote-TPU tunnel
+    # lease; first contact can fail transiently — retry before giving up
+    backend = None
+    for attempt in range(4):
+        try:
+            backend = jax.default_backend()
+            break
+        except RuntimeError:
+            if attempt == 3:
+                raise
+            time.sleep(20 * (attempt + 1))
+    params = PairHMMParams(max_read_len=BUCKET_R, max_hap_len=BUCKET_H,
+                           backend="pallas" if backend == "tpu" else "jax")
+    rng = np.random.default_rng(0)
+    args = _pairhmm_inputs(rng)
+
+    gcups = bench_pairhmm(jax, jnp, params, args)
+
+    extras = {}
+    try:
+        mesh_gcups, nchips = bench_pairhmm_mesh(jax, jnp, params, args)
+        extras["pairhmm_mesh_gcups"] = round(mesh_gcups, 3)
+        extras["mesh_chips"] = nchips
+    except Exception as e:  # never let an extra kill the headline number
+        print(f"# mesh extra failed: {e!r}", file=sys.stderr)
+    try:
+        extras["sw_score_gcups"] = round(
+            bench_sw_score(jax, jnp, backend, rng), 3)
+    except Exception as e:
+        print(f"# sw extra failed: {e!r}", file=sys.stderr)
+    try:
+        rps, mapped = bench_align(rng)
+        extras["align_reads_per_s"] = round(rps, 1)
+        extras["align_mapped_frac"] = round(mapped, 4)
+    except Exception as e:
+        print(f"# align extra failed: {e!r}", file=sys.stderr)
+
     print(json.dumps({
         "metric": "pairhmm_forward_gcups",
         "value": round(gcups, 3),
         "unit": "GCUPS",
         "vs_baseline": round(gcups / BASELINE_GCUPS, 3),
+        "extras": extras,
     }))
 
 

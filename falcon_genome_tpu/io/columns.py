@@ -59,10 +59,29 @@ class RecordColumns:
     # -- derived -------------------------------------------------------------
 
     def coordinate_order(self) -> np.ndarray:
-        """Permutation for coordinate sort: (tid, pos), unmapped last."""
+        """Permutation for coordinate sort: (tid, pos), unmapped last.
+
+        Under an active multi-device mesh the argsort runs as a
+        distributed sample-sort over ICI (parallel.sharded.
+        mesh_coordinate_order — the reference's bucket sort/merge tree,
+        SambambaWorker.cpp SORT, as a device collective); the host
+        lexsort is the single-device path and the fallback when the
+        packed-key layout doesn't fit."""
         unmapped = (self.fixed[:, F_FLAG] & FLAG_UNMAPPED) != 0
         tid = np.where(unmapped, np.int64(1) << 30,
                        self.fixed[:, F_TID].astype(np.int64))
+        from ..parallel.mesh import get_active_mesh
+        mesh = get_active_mesh()
+        if (mesh is not None and mesh.size > 1
+                and "data" in mesh.axis_names
+                and (len(tid) == 0 or int(self.fixed[:, F_TID].max(
+                    initial=0, where=~unmapped)) < 0xFE)):
+            from ..parallel.sharded import mesh_coordinate_order
+            tid8 = np.where(unmapped, np.int64(0xFE), tid)
+            pos = np.clip(self.fixed[:, F_POS], 0, None).astype(np.uint32)
+            order = mesh_coordinate_order(tid8.astype(np.uint64), pos, mesh)
+            if order is not None:
+                return order
         return np.lexsort((self.fixed[:, F_POS], tid))
 
     def record_sizes(self) -> np.ndarray:

@@ -138,27 +138,38 @@ def make_example_batch(B: int, R: int, H: int, n_cov: int, seed: int = 0):
 # device-mesh collective instead of a filesystem merge)
 # ---------------------------------------------------------------------------
 
-SORT_SENTINEL = np.uint64(0xFFFFFFFFFFFFFFFF)
+# Exchange padding value: sorts after (or ties with) every legitimate key,
+# so taking the first `nvalid` entries of a device's sorted run is exact even
+# when legitimate keys equal the pad value.  Validity is tracked by COUNT
+# (an all_to_all of per-bucket counts), never by comparing against this
+# value — a key of 0xFFFF…F is a legal input.
+SORT_PAD = np.uint64(0xFFFFFFFFFFFFFFFF)
+SORT_SENTINEL = SORT_PAD  # backwards-compat alias
+
+_SORT_STEP_CACHE: dict = {}
 
 
 def distributed_sort_step(mesh: Mesh, n_local: int, axis_name: str = "data",
-                          capacity_factor: float = 2.0):
-    """Compile a distributed sample-sort over one mesh axis.
+                          capacity: int | None = None):
+    """Compile (and cache) a distributed sample-sort over one mesh axis.
 
     Input: (nd * n_local,) uint64 keys, sharded over ``axis_name`` (each
     device holds n_local).  Callers embed the payload in the key's low
-    bits (coordinate sort uses ``global_pos << 24 | read_idx``).
+    bits (coordinate sort packs ``tid:8 | pos:32 | row:24``).
 
     Sample-sort over ICI: local sort → all_gather regular samples →
     global splitters → static-capacity bucket exchange via all_to_all →
-    local merge.  Returns per-device sorted runs (sentinel-padded), the
-    per-device valid count, and a per-device overflow flag (a bucket
-    exceeding ``capacity_factor×`` the average shard: retry bigger).
+    local merge.  Returns per-device sorted runs (pad-filled past the
+    valid count), the per-device valid count (from a counts exchange, not
+    a pad-value scan), and the global max bucket count (host retries with
+    ``capacity = gmax`` when it exceeds the compiled capacity).
     """
-    shard_map = jax.shard_map
-
     nd = mesh.shape[axis_name]
-    C = int(np.ceil(n_local / nd * capacity_factor))
+    C = capacity if capacity is not None else int(np.ceil(n_local / nd * 2))
+    cache_key = (mesh, n_local, axis_name, C)
+    cached = _SORT_STEP_CACHE.get(cache_key)
+    if cached is not None:
+        return cached
     OS = 8                                   # oversampling per device
 
     def local(keys):
@@ -170,46 +181,80 @@ def distributed_sort_step(mesh: Mesh, n_local: int, axis_name: str = "data",
         cuts = jnp.searchsorted(keys, splits).astype(jnp.int32)
         lo = jnp.concatenate([jnp.zeros(1, jnp.int32), cuts])
         hi = jnp.concatenate([cuts, jnp.full(1, n_local, jnp.int32)])
-        counts = hi - lo
-        overflow = (jnp.max(counts) > C).astype(jnp.int32)
+        counts = hi - lo                                       # (nd,)
+        gmax = jax.lax.pmax(jnp.max(counts), axis_name)
         gi = jnp.clip(lo[:, None] + jnp.arange(C)[None, :], 0, n_local - 1)
         send = jnp.where(jnp.arange(C)[None, :] < counts[:, None],
-                         keys[gi], jnp.uint64(SORT_SENTINEL))
+                         keys[gi], jnp.uint64(SORT_PAD))
         recv = jax.lax.all_to_all(send, axis_name, split_axis=0,
                                   concat_axis=0, tiled=True)    # (nd, C)
+        # exact validity: row i of the counts exchange = how many keys
+        # device i actually sent here (clipped to the compiled capacity —
+        # past it the exchange truncated and the host retries anyway)
+        recv_counts = jax.lax.all_to_all(
+            jnp.minimum(counts, C), axis_name,
+            split_axis=0, concat_axis=0, tiled=True)            # (nd,)
         merged = jnp.sort(recv.reshape(-1))                     # (nd*C,)
-        nvalid = jnp.sum(recv != jnp.uint64(SORT_SENTINEL)
-                         ).astype(jnp.int32)
-        return merged, nvalid.reshape(1), overflow.reshape(1)
+        nvalid = jnp.sum(recv_counts).astype(jnp.int32)
+        return merged, nvalid.reshape(1), gmax.reshape(1)
 
     spec = P(axis_name)
-    return jax.jit(shard_map(
+    fn = jax.jit(jax.shard_map(
         local, mesh=mesh, in_specs=(spec,),
         out_specs=(spec, spec, spec)))
+    _SORT_STEP_CACHE[cache_key] = fn
+    return fn
 
 
-def distributed_sort(mesh: Mesh, keys: np.ndarray, axis_name: str = "data",
-                     capacity_factor: float = 2.0) -> np.ndarray:
+def distributed_sort(mesh: Mesh, keys: np.ndarray,
+                     axis_name: str = "data") -> np.ndarray:
     """Host wrapper: globally sort uint64 keys over the mesh axis.
 
-    Pads to the device count, runs the sample-sort step (retrying with a
-    larger exchange capacity on bucket overflow), trims sentinels."""
+    Pads to the device count, runs the sample-sort step, trims by count.
+    A skewed bucket beyond the compiled exchange capacity triggers ONE
+    retry compiled at exactly the observed max bucket size (the step
+    reports the global max, so the retry cannot overflow again)."""
     nd = mesh.shape[axis_name]
     n = len(keys)
     n_local = int(np.ceil(n / nd))
-    padded = np.full(nd * n_local, SORT_SENTINEL, np.uint64)
+    padded = np.full(nd * n_local, SORT_PAD, np.uint64)
     padded[:n] = keys
     # 64-bit keys need x64 tracing (JAX otherwise demotes uint64→uint32,
     # silently mangling coordinates); scoped to this step only
     with jax.enable_x64(True):
-        while True:
+        step = distributed_sort_step(mesh, n_local, axis_name)
+        merged, nvalid, gmax = step(jnp.asarray(padded))
+        cap = int(np.ceil(n_local / nd * 2))
+        observed = int(np.asarray(gmax).max())
+        if observed > cap:
             step = distributed_sort_step(mesh, n_local, axis_name,
-                                         capacity_factor)
-            merged, nvalid, overflow = step(jnp.asarray(padded))
-            if not np.asarray(overflow).any():
-                break
-            capacity_factor *= 2.0
+                                         capacity=observed)
+            merged, nvalid, _ = step(jnp.asarray(padded))
     merged = np.asarray(merged).reshape(nd, -1)
     nvalid = np.asarray(nvalid)
     out = np.concatenate([merged[d, :nvalid[d]] for d in range(nd)])
-    return out[out != SORT_SENTINEL][:n]
+    # host pads are SORT_PAD (the max value): they occupy the global tail,
+    # so the first n entries are exactly the sorted input multiset
+    return out[:n]
+
+
+def mesh_coordinate_order(tid: np.ndarray, pos: np.ndarray,
+                          mesh: Mesh, axis_name: str = "data"
+                          ) -> np.ndarray | None:
+    """Coordinate argsort over the device mesh: the bucket-BAM sort/merge
+    tree (SambambaWorker SORT over part-%06d shards) as an ICI collective.
+
+    Packs ``tid:8 | pos:32 | row:24`` into uint64 keys and sample-sorts
+    them over the mesh; the low 24 bits come back as the permutation.
+    Returns None when the inputs don't fit the packing (caller falls back
+    to the host lexsort): >16M rows per call, >255 contigs, or positions
+    ≥ 2^32.  Stable (row index breaks ties in input order), matching
+    np.lexsort."""
+    n = len(pos)
+    if n >= (1 << 24) or (n and int(tid.max(initial=0)) >= 0xFF):
+        return None
+    keys = ((tid.astype(np.uint64) << np.uint64(56))
+            | (pos.astype(np.uint64) << np.uint64(24))
+            | np.arange(n, dtype=np.uint64))
+    out = distributed_sort(mesh, keys, axis_name)
+    return (out & np.uint64(0xFFFFFF)).astype(np.int64)

@@ -196,10 +196,85 @@ class TestDistributedSort:
             import pytest
             pytest.skip("needs multi-device mesh")
         mesh = make_mesh(MeshSpec(data=len(jax.devices()), region=1))
-        # heavily skewed: 90% of keys identical → bucket overflow path
+        # heavily skewed: 90% of keys identical → one bucket far exceeds
+        # the compiled 2×-average exchange capacity → exact-size retry
         n = 2048
         keys = np.full(n, 42, np.uint64)
         keys[: n // 10] = rng.integers(0, 1 << 40, n // 10).astype(np.uint64)
-        got = distributed_sort(mesh, keys, axis_name="data",
-                               capacity_factor=1.1)
+        got = distributed_sort(mesh, keys, axis_name="data")
         assert np.array_equal(got, np.sort(keys))
+
+    def test_max_value_keys_not_dropped(self, rng):
+        # 0xFFFF…F is a legal key, not a validity marker: validity is
+        # tracked by a counts exchange, so max-valued keys must survive
+        import jax
+        from falcon_genome_tpu.parallel.mesh import MeshSpec, make_mesh
+        from falcon_genome_tpu.parallel.sharded import distributed_sort
+        if len(jax.devices()) < 2:
+            import pytest
+            pytest.skip("needs multi-device mesh")
+        mesh = make_mesh(MeshSpec(data=len(jax.devices()), region=1))
+        n = 1024
+        keys = rng.integers(0, 1 << 40, n).astype(np.uint64)
+        keys[::7] = np.uint64(0xFFFFFFFFFFFFFFFF)
+        got = distributed_sort(mesh, keys, axis_name="data")
+        assert len(got) == n
+        assert np.array_equal(got, np.sort(keys))
+
+    def test_step_compile_cache(self):
+        import jax
+        from falcon_genome_tpu.parallel.mesh import MeshSpec, make_mesh
+        from falcon_genome_tpu.parallel.sharded import distributed_sort_step
+        if len(jax.devices()) < 2:
+            import pytest
+            pytest.skip("needs multi-device mesh")
+        mesh = make_mesh(MeshSpec(data=len(jax.devices()), region=1))
+        a = distributed_sort_step(mesh, 512, "data")
+        b = distributed_sort_step(mesh, 512, "data")
+        assert a is b  # same compiled step object — no per-call re-jit
+
+    def test_mesh_coordinate_order_matches_lexsort(self, rng):
+        import jax
+        from falcon_genome_tpu.parallel.mesh import MeshSpec, make_mesh
+        from falcon_genome_tpu.parallel.sharded import mesh_coordinate_order
+        if len(jax.devices()) < 2:
+            import pytest
+            pytest.skip("needs multi-device mesh")
+        mesh = make_mesh(MeshSpec(data=len(jax.devices()), region=1))
+        n = 3000
+        tid = rng.integers(0, 3, n).astype(np.uint64)
+        pos = rng.integers(0, 1 << 20, n).astype(np.uint32)
+        # duplicate coordinates to exercise stability
+        pos[100:200] = pos[0]
+        tid[100:200] = tid[0]
+        order = mesh_coordinate_order(tid, pos, mesh)
+        expect = np.lexsort((pos, tid))
+        assert np.array_equal(order, expect)
+
+    def test_columns_coordinate_order_uses_mesh(self, rng):
+        import jax
+        from falcon_genome_tpu.parallel.mesh import (
+            MeshSpec, make_mesh, use_mesh)
+        if len(jax.devices()) < 2:
+            import pytest
+            pytest.skip("needs multi-device mesh")
+        from falcon_genome_tpu.io.columns import (
+            F_FLAG, F_POS, F_TID, RecordColumns)
+        n = 500
+        fixed = np.zeros((n, 12), np.int32)
+        fixed[:, F_TID] = rng.integers(0, 2, n)
+        fixed[:, F_POS] = rng.integers(0, 10000, n)
+        fixed[::17, F_FLAG] = 4          # unmapped sort last
+        fixed[::17, F_POS] = -1
+        cols = RecordColumns(
+            fixed=fixed, names=np.zeros(0, np.uint8),
+            name_off=np.zeros(n, np.int64), cigar_ops=np.zeros(0, np.int32),
+            cigar_lens=np.zeros(0, np.int32), cig_off=np.zeros(n, np.int64),
+            seq=np.zeros(0, np.uint8), qual=np.zeros(0, np.uint8),
+            seq_off=np.zeros(n, np.int64), tags=np.zeros(0, np.uint8),
+            tag_off=np.zeros(n, np.int64), tag_len=np.zeros(n, np.int64))
+        single = cols.coordinate_order()
+        mesh = make_mesh(MeshSpec(data=len(jax.devices()), region=1))
+        with use_mesh(mesh):
+            meshed = cols.coordinate_order()
+        assert np.array_equal(single, meshed)
