@@ -16,6 +16,8 @@ import logging
 import re
 from pathlib import Path
 
+import numpy as np
+
 from ..config import Config
 from ..io.vcf import (
     STANDARD_META, VcfHeader, VcfRecord, concat_vcfs, read_vcf, sort_vcf,
@@ -134,71 +136,256 @@ def _block_at(blocks, contig: str, pos: int) -> tuple[int, int] | None:
     return None
 
 
+def _parse_int_list(v) -> list[int] | None:
+    """FORMAT list field → ints (handles parsed-string and in-memory forms)."""
+    if v is None or v == MISSING_TOK:
+        return None
+    if isinstance(v, (list, tuple)):
+        try:
+            return [int(x) for x in v]
+        except (TypeError, ValueError):
+            return None
+    try:
+        return [int(x) for x in str(v).split(",")]
+    except ValueError:
+        return None
+
+
+MISSING_TOK = "."
+
+
+def _gt_idx(j: int, k: int) -> int:
+    """VCF canonical genotype ordering for diploid (j <= k)."""
+    return k * (k + 1) // 2 + j
+
+
+def _exact_af_qual(site_gls: list[list[float]], theta: float = 1e-3
+                   ) -> float | None:
+    """Site QUAL from the exact allele-frequency model.
+
+    ``site_gls``: per-sample linear-scale [P(D|0/0), P(D|0/1), P(D|1/1)]
+    for one alt (vs everything else).  Runs the Li (2011) exact-AC DP with
+    hypergeometric genotype weights, applies the GATK theta prior
+    (Pr(AC=k) ∝ θ/k for k>0), and returns -10·log10 posterior(AC=0) — the
+    GenotypeGVCFs QUAL semantics, replacing the reference pipeline's
+    summed per-sample QUALs (GenotypeGVCFsWorker delegates this to GATK).
+    """
+    n = len(site_gls)
+    if n == 0:
+        return None
+    # y[k] ∝ P(D_1..j | AC=k); renormalize per step to dodge underflow
+    y = np.zeros(2 * n + 1)
+    y[0] = 1.0
+    for j, (l0, l1, l2) in enumerate(site_gls, start=1):
+        ks = np.arange(0, 2 * j + 1, dtype=np.float64)
+        prev = y
+        nxt = np.zeros_like(y)
+        tj = 2.0 * j
+        w0 = (tj - ks) * (tj - ks - 1) * l0
+        w1 = 2.0 * ks * (tj - ks) * l1
+        w2 = ks * (ks - 1) * l2
+        nxt[: 2 * j + 1] = w0[: 2 * j + 1] * prev[: 2 * j + 1]
+        nxt[1: 2 * j + 1] += w1[1: 2 * j + 1] * prev[: 2 * j]
+        nxt[2: 2 * j + 1] += w2[2: 2 * j + 1] * prev[: 2 * j - 1]
+        nxt /= tj * (tj - 1.0)
+        m = nxt.max()
+        y = nxt / m if m > 0 else nxt
+    ks = np.arange(1, 2 * n + 1, dtype=np.float64)
+    prior = np.empty(2 * n + 1)
+    prior[1:] = theta / ks
+    prior[0] = max(1.0 - (theta / ks).sum(), 1e-12)
+    post = y * prior
+    tot = post.sum()
+    if tot <= 0:
+        return None
+    p0 = post[0] / tot
+    p0 = min(max(p0, 1e-99), 1.0)
+    return -10.0 * np.log10(p0)
+
+
 def _merge_shard_sites(evidence, sample_names) -> list[VcfRecord]:
-    """Position-keyed merge of per-sample evidence within one shard."""
+    """Position-keyed merge of per-sample evidence within one shard.
+
+    GATK GenotypeGVCFs output semantics (the reference shells this out,
+    src/workers/CombineGVCFsWorker.cpp + GenotypeGVCFs):
+
+    * merged REF = longest REF at the site; shorter-REF samples' alleles
+      are suffix-extended before matching (indel merge semantics);
+    * per-sample AD and PL are REMAPPED into the merged allele list, with
+      alleles a sample never saw reading from its ``<NON_REF>`` column
+      (the gVCF contract) — AD 0, PL from the NON_REF likelihood;
+    * hom-ref-block samples reconstitute GT=0/0 with AD=[DP,0,..] and
+      PL=[0,GQ,2GQ] over merged alleles;
+    * site QUAL comes from the exact allele-frequency model over all
+      samples' PLs (``_exact_af_qual``), not a sum of per-sample QUALs;
+    * INFO carries DP/AN/AC/AF/QD.
+    """
     sites: dict[tuple[str, int], tuple[str, list[str]]] = {}
     for variants, _ in evidence:
         for (contig, pos), rec in variants.items():
             ref_a, alts = sites.get((contig, pos), (rec.ref, []))
             if len(rec.ref) > len(ref_a):
                 ref_a = rec.ref
-            for a in rec.alts:
-                if a not in alts and a != "<NON_REF>":
-                    alts.append(a)
             sites[(contig, pos)] = (ref_a, alts)
+    # second pass: alt alleles in merged (suffix-extended) representation
+    for variants, _ in evidence:
+        for (contig, pos), rec in variants.items():
+            ref_a, alts = sites[(contig, pos)]
+            suffix = ref_a[len(rec.ref):]
+            for a in rec.alts:
+                if a == "<NON_REF>":
+                    continue
+                a_ext = a + suffix
+                if a_ext not in alts:
+                    alts.append(a_ext)
 
     out_records: list[VcfRecord] = []
     for (contig, pos), (ref_a, alts) in sorted(sites.items()):
         if not alts:
             continue
+        merged = [ref_a] + alts
+        n_gt = _gt_idx(len(alts), len(alts)) + 1
         samples_fmt = []
-        qual = 0.0
         total_dp = 0
         an = 0
+        ac = np.zeros(len(alts), np.int64)
+        dp_var = 0                      # depth over variant-carrying samples
+        # per-alt per-sample biallelic GLs for the exact-AF QUAL model
+        af_gls: list[list[list[float]]] = [[] for _ in alts]
         for (variants, blocks) in evidence:
             rec = variants.get((contig, pos))
             if rec is not None and rec.samples:
                 s = dict(rec.samples[0])
-                # re-map GT allele indices into the merged allele list
-                gt_raw = str(s.get("GT", "./."))
-                local = [rec.ref] + [a for a in rec.alts
-                                     if a != "<NON_REF>"]
-                merged = [ref_a] + alts
+                suffix = ref_a[len(rec.ref):]
+                local_raw = [rec.ref] + list(rec.alts)
+                # suffix-extended local alleles; NON_REF stays symbolic
+                local = [a if a == "<NON_REF>" else a + suffix
+                         for a in local_raw]
+                nonref_local = (local.index("<NON_REF>")
+                                if "<NON_REF>" in local else None)
+                # merged index → local index (NON_REF absorbs unseen alts)
+                m2l = []
+                for a in merged:
+                    if a in local:
+                        m2l.append(local.index(a))
+                    else:
+                        m2l.append(nonref_local)
 
                 def remap(tok):
                     if not tok.isdigit():
-                        return "."
-                    a = local[int(tok)] if int(tok) < len(local) else None
-                    return (str(merged.index(a))
-                            if a in merged else ".")
+                        return MISSING_TOK
+                    li = int(tok)
+                    a = local[li] if li < len(local) else None
+                    return str(merged.index(a)) if a in merged \
+                        else MISSING_TOK
+                gt_raw = str(s.get("GT", "./."))
                 s["GT"] = "/".join(
                     remap(t) for t in re.split(r"[/|]", gt_raw))
+
+                ad_local = _parse_int_list(s.get("AD"))
+                if ad_local is not None:
+                    s["AD"] = [
+                        ad_local[m2l[i]]
+                        if m2l[i] is not None and m2l[i] < len(ad_local)
+                        and local[m2l[i]] != "<NON_REF>" else 0
+                        for i in range(len(merged))]
+                    # ref column always carries through
+                    if ad_local:
+                        s["AD"][0] = ad_local[0]
+                pl_local = _parse_int_list(s.get("PL"))
+                pl_merged = None
+                if pl_local is not None:
+                    pl_merged = []
+                    ok = True
+                    for k in range(len(merged)):
+                        for j in range(k + 1):
+                            lj, lk = m2l[j], m2l[k]
+                            if lj is None or lk is None:
+                                ok = False
+                                break
+                            gi = _gt_idx(min(lj, lk), max(lj, lk))
+                            if gi >= len(pl_local):
+                                ok = False
+                                break
+                            pl_merged.append(pl_local[gi])
+                        if not ok:
+                            break
+                    if ok and len(pl_merged) == n_gt:
+                        mn = min(pl_merged)
+                        s["PL"] = [p - mn for p in pl_merged]
+                        pl_merged = s["PL"]
+                    else:
+                        s.pop("PL", None)
+                        pl_merged = None
                 samples_fmt.append(s)
-                if rec.qual:
-                    qual += rec.qual
-                total_dp += int(s.get("DP", 0) or 0)
-                an += sum(1 for t in re.split(r"[/|]", s["GT"])
-                          if t.isdigit())
+                dp = int(s.get("DP", 0) or 0)
+                total_dp += dp
+                called = [int(t) for t in re.split(r"[/|]", s["GT"])
+                          if t.isdigit()]
+                an += len(called)
+                for t in called:
+                    if t > 0:
+                        ac[t - 1] += 1
+                if any(t > 0 for t in called):
+                    dp_var += dp
+                for ai in range(len(alts)):
+                    af_gls[ai].append(_biallelic_gls(pl_merged, ai + 1,
+                                                     len(merged)))
             else:
                 cov = _block_at(blocks, contig, pos)
                 if cov is None:
                     samples_fmt.append({"GT": "./."})
+                    for ai in range(len(alts)):
+                        af_gls[ai].append([1.0, 1.0, 1.0])
                 else:
                     gq, dp = cov
-                    # GQ-aware PL reconstitution: a hom-ref block at GQ g
-                    # caps the het PL at g (GATK GenotypeGVCFs analog)
+                    # GQ-aware PL reconstitution over the MERGED genotype
+                    # space: hom-ref at GQ g caps every ref+alt het at g,
+                    # everything else at 2g (GATK GenotypeGVCFs analog)
+                    pl = []
+                    for k in range(len(merged)):
+                        for j in range(k + 1):
+                            pl.append(0 if j == k == 0
+                                      else gq if j == 0
+                                      else max(2 * gq, gq))
                     samples_fmt.append({
                         "GT": "0/0", "GQ": gq, "DP": dp,
-                        "PL": [0, gq, max(2 * gq, gq)]})
+                        "AD": [dp] + [0] * len(alts), "PL": pl})
                     total_dp += dp
                     an += 2
+                    l1 = 10.0 ** (-gq / 10.0)
+                    for ai in range(len(alts)):
+                        af_gls[ai].append([1.0, l1, l1 * l1])
+
+        # site QUAL: exact-AF posterior per alt; site-level = max over alts
+        # (GATK's joint multiallelic model approximated per-alt)
+        quals = [q for q in (_exact_af_qual(af_gls[ai])
+                             for ai in range(len(alts))) if q is not None]
+        qual = round(max(quals), 2) if quals else None
+        info: dict[str, object] = {"DP": total_dp, "AN": an,
+                                   "AC": [int(x) for x in ac]}
+        if an > 0:
+            info["AF"] = [round(float(x) / an, 4) for x in ac]
+        if qual is not None and dp_var > 0:
+            info["QD"] = round(min(qual / dp_var, 40.0), 2)
         out_records.append(VcfRecord(
             contig=contig, pos=pos, ref=ref_a, alts=alts,
-            qual=qual or None, filter="PASS",
-            info={"DP": total_dp, "AN": an},
+            qual=qual, filter="PASS", info=info,
             fmt=["GT", "AD", "DP", "GQ", "PL"],
             samples=samples_fmt))
     return out_records
+
+
+def _biallelic_gls(pl_merged: list[int] | None, alt_idx: int,
+                   n_alleles: int) -> list[float]:
+    """Collapse a merged-space PL to biallelic (ref-vs-alt_idx) linear GLs
+    for the exact-AF model; uninformative [1,1,1] without a PL."""
+    if pl_merged is None:
+        return [1.0, 1.0, 1.0]
+    l0 = 10.0 ** (-pl_merged[_gt_idx(0, 0)] / 10.0)
+    l1 = 10.0 ** (-pl_merged[_gt_idx(0, alt_idx)] / 10.0)
+    l2 = 10.0 ** (-pl_merged[_gt_idx(alt_idx, alt_idx)] / 10.0)
+    return [l0, l1, l2]
 
 
 def run_joint(conf: Config, ref: str, input_path: str, output: str,
