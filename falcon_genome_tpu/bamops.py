@@ -15,6 +15,7 @@ in-repo, array-shaped implementations:
 """
 from __future__ import annotations
 
+import dataclasses
 from collections import defaultdict
 
 import numpy as np
@@ -169,13 +170,73 @@ def _qual_sums_columns(cols) -> np.ndarray:
     return s
 
 
-def mark_duplicates_columns(cols) -> tuple[object, int]:
+@dataclasses.dataclass
+class DupMetrics:
+    """Picard DuplicationMetrics analog (MarkDuplicates METRICS_FILE;
+    sambamba markdup reports the same counts — SambambaWorker.cpp)."""
+    pairs_examined: int = 0
+    unpaired_examined: int = 0
+    pair_duplicates: int = 0
+    unpaired_duplicates: int = 0
+    optical_duplicates: int = 0
+    estimated_library_size: int | None = None
+
+
+def _optical_key(name: bytes) -> tuple[bytes, int, int, int] | None:
+    """(prefix, tile, x, y) from an Illumina-style read name.
+
+    Picard's default READ_NAME_REGEX semantics: the last three
+    colon-separated fields of a 5- or 7-field name are tile, x, y."""
+    parts = name.split(b":")
+    if len(parts) < 5:
+        return None
+    try:
+        tile, x, y = (int(parts[-3]), int(parts[-2]), int(parts[-1]))
+    except ValueError:
+        return None
+    return b":".join(parts[:-3]), tile, x, y
+
+
+def _estimate_library_size(pairs_examined: int, unique_pairs: int
+                           ) -> int | None:
+    """Solve unique = L·(1 − exp(−total/L)) for L (Picard's estimator)."""
+    n, u = pairs_examined, unique_pairs
+    if n <= 0 or u <= 0 or u >= n:
+        return None
+    import math
+    lo, hi = 1.0, float(u) * 100.0
+
+    def f(L):
+        return L * (1.0 - math.exp(-n / L)) - u
+    while f(hi) < 0:
+        hi *= 10.0
+        if hi > 1e18:
+            return None
+    for _ in range(80):
+        mid = (lo + hi) / 2.0
+        if f(mid) > 0:
+            hi = mid
+        else:
+            lo = mid
+    return int(round((lo + hi) / 2.0))
+
+
+def mark_duplicates_columns(cols, optical_pixel_dist: int = 100,
+                            return_metrics: bool = False):
     """Vectorized MARKDUP on RecordColumns: sets FLAG_DUP in the flag
-    column in place; returns (cols, n newly marked).
+    column in place; returns (cols, n newly marked) — or, with
+    ``return_metrics``, (cols, n newly marked, DupMetrics).
 
     Same criteria as :func:`mark_duplicates` (Picard keys: library-less
     (tid, unclipped 5', strand) per mapped primary, pairs keyed by both
     ends; best base-quality sum kept, ties by lexicographic qname).
+
+    Optical duplicates (Picard MarkDuplicates semantics): within each
+    duplicate set, a duplicate whose read name parses to the same
+    flowcell/lane prefix and tile as another member, with |Δx| and |Δy|
+    both ≤ ``optical_pixel_dist``, is counted optical.  Optical dups are
+    still FLAG_DUP-marked like any duplicate; the count feeds the
+    duplication metrics and the library-size estimate.
     """
     from .io.columns import F_FLAG, F_LNAME
 
@@ -199,7 +260,7 @@ def mark_duplicates_columns(cols) -> tuple[object, int]:
     mapped = primary & ((f[:, F_FLAG] & 0x4) == 0)
     mp = np.flatnonzero(mapped)
     if len(mp) == 0:
-        return cols, 0
+        return (cols, 0, DupMetrics()) if return_metrics else (cols, 0)
     ucoord, rev = _unclipped_coords_columns(cols, mp)
     tid = f[mp, 0].astype(np.int64)
     ekey = (((tid + 1) << np.int64(35))
@@ -249,6 +310,10 @@ def mark_duplicates_columns(cols) -> tuple[object, int]:
     run_end = np.append(run_start[1:], len(order))
     g_live = live[order]
     s_live = score[live][order]
+    cnt_live = cnt[live][order]
+    metrics = DupMetrics(
+        pairs_examined=int((cnt[live] > 1).sum()),
+        unpaired_examined=int((cnt[live] == 1).sum()))
     for a, b in zip(run_start, run_end):
         if b - a < 2:
             continue
@@ -260,15 +325,44 @@ def mark_duplicates_columns(cols) -> tuple[object, int]:
             keeper = g_live[a]
         dup_gids.extend(int(g_live[j]) for j in range(a, b)
                         if g_live[j] != keeper)
+        if return_metrics:
+            # ---- optical-duplicate detection within the duplicate set --
+            keys = [(int(g_live[j]),
+                     _optical_key(name_of_gid(int(g_live[j]))))
+                    for j in range(a, b)]
+            for gd, kd in keys:
+                if gd == keeper:
+                    continue
+                if cnt_live[a] > 1:
+                    metrics.pair_duplicates += 1
+                else:
+                    metrics.unpaired_duplicates += 1
+                if kd is None:
+                    continue
+                for go, ko in keys:
+                    if go == gd or ko is None:
+                        continue
+                    if (ko[0] == kd[0] and ko[1] == kd[1]
+                            and abs(ko[2] - kd[2]) <= optical_pixel_dist
+                            and abs(ko[3] - kd[3]) <= optical_pixel_dist):
+                        metrics.optical_duplicates += 1
+                        break
 
+    if return_metrics:
+        # Picard: estimateLibrarySize(PAIRS_EXAMINED − OPTICAL_DUPS,
+        #                             PAIRS_EXAMINED − PAIR_DUPLICATES)
+        metrics.estimated_library_size = _estimate_library_size(
+            metrics.pairs_examined - metrics.optical_duplicates,
+            metrics.pairs_examined - metrics.pair_duplicates)
     if not dup_gids:
-        return cols, 0
+        return (cols, 0, metrics) if return_metrics else (cols, 0)
     dup_mask_g = np.zeros(ngroups, bool)
     dup_mask_g[np.asarray(dup_gids, np.int64)] = True
     hit = dup_mask_g[gid]
     newly = hit & ((f[:, F_FLAG] & FLAG_DUP) == 0)
     f[:, F_FLAG] = np.where(hit, f[:, F_FLAG] | FLAG_DUP, f[:, F_FLAG])
-    return cols, int(newly.sum())
+    ndup = int(newly.sum())
+    return (cols, ndup, metrics) if return_metrics else (cols, ndup)
 
 
 # ---------------------------------------------------------------------------

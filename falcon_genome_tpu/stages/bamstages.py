@@ -137,8 +137,12 @@ def run_markdup(conf: Config, input_path: str, output: str,
                 force: bool = False) -> str:
     output = check_output(output, force)
     header, cols = load_bam_input_columns(input_path)
-    cols, ndup = mark_duplicates_columns(cols)
+    cols, ndup, metrics = mark_duplicates_columns(cols, return_metrics=True)
     write_bam_columns(output, header, cols, order=cols.coordinate_order())
-    log.info("markdup: %d records, %d duplicates → %s",
-             len(cols), ndup, output)
+    log.info(
+        "markdup: %d records, %d duplicates (%d optical), "
+        "%d pairs / %d unpaired examined, est. library size %s → %s",
+        len(cols), ndup, metrics.optical_duplicates,
+        metrics.pairs_examined, metrics.unpaired_examined,
+        metrics.estimated_library_size, output)
     return output

@@ -195,3 +195,75 @@ class TestMarkdupColumnar:
         from falcon_genome_tpu.bamops import _unclipped_coords_columns
         uc, rev = _unclipped_coords_columns(cols, np.arange(3))
         assert uc.tolist() == [unclipped_start(r) for r in recs]
+
+
+class TestOpticalDuplicates:
+    """Picard MarkDuplicates optical-duplicate semantics: same duplicate
+    set + same flowcell/lane prefix + same tile + pixel distance ≤ 100."""
+
+    def _pair(self, name, p1=100, p2=300, qual="I" * 10):
+        r1 = SamRecord(name, 0x1 | 0x40, 0, p1, 60,
+                       cigar_from_str("10M"), seq="A" * 10, qual=qual)
+        r2 = SamRecord(name, 0x1 | 0x80 | FLAG_REVERSE, 0, p2, 60,
+                       cigar_from_str("10M"), seq="A" * 10, qual=qual)
+        return [r1, r2]
+
+    def _run(self, recs):
+        from falcon_genome_tpu.bamops import mark_duplicates_columns
+        cols = RecordColumns.from_records(recs)
+        _, ndup, m = mark_duplicates_columns(cols, return_metrics=True)
+        return ndup, m
+
+    def test_close_on_tile_is_optical(self):
+        recs = (self._pair("M1:5:FC:1:2101:1000:2000", qual="I" * 10)
+                + self._pair("M1:5:FC:1:2101:1050:2050", qual="5" * 10))
+        ndup, m = self._run(recs)
+        assert ndup == 2                     # one dup pair (both mates)
+        assert m.pair_duplicates == 1
+        assert m.optical_duplicates == 1
+
+    def test_far_apart_not_optical(self):
+        recs = (self._pair("M1:5:FC:1:2101:1000:2000", qual="I" * 10)
+                + self._pair("M1:5:FC:1:2101:9000:9000", qual="5" * 10))
+        ndup, m = self._run(recs)
+        assert m.pair_duplicates == 1
+        assert m.optical_duplicates == 0
+
+    def test_different_tile_not_optical(self):
+        recs = (self._pair("M1:5:FC:1:2101:1000:2000", qual="I" * 10)
+                + self._pair("M1:5:FC:1:2102:1000:2000", qual="5" * 10))
+        _, m = self._run(recs)
+        assert m.pair_duplicates == 1
+        assert m.optical_duplicates == 0
+
+    def test_unparseable_names_never_optical(self):
+        recs = (self._pair("alpha", qual="I" * 10)
+                + self._pair("beta", qual="5" * 10))
+        _, m = self._run(recs)
+        assert m.pair_duplicates == 1
+        assert m.optical_duplicates == 0
+
+    def test_metrics_counts_and_library_size(self):
+        # 3 distinct pairs + 1 PCR dup of the first → 4 examined, 1 dup
+        recs = (self._pair("M1:5:FC:1:2101:1000:2000", qual="I" * 10)
+                + self._pair("M1:5:FC:1:2102:5000:6000", qual="5" * 10)
+                + self._pair("u1", 500, 700) + self._pair("u2", 900, 1100))
+        ndup, m = self._run(recs)
+        assert m.pairs_examined == 4
+        assert m.pair_duplicates == 1
+        assert m.unpaired_examined == 0
+        assert m.estimated_library_size is not None
+        assert m.estimated_library_size >= 3
+
+    def test_flag_marking_unchanged_by_metrics(self, rng):
+        # optical detection must not change which records get FLAG_DUP
+        import copy
+        recs = (self._pair("M1:5:FC:1:2101:1000:2000", qual="I" * 10)
+                + self._pair("M1:5:FC:1:2101:1050:2050", qual="5" * 10))
+        from falcon_genome_tpu.bamops import mark_duplicates_columns
+        cols_a = RecordColumns.from_records(copy.deepcopy(recs))
+        cols_b = RecordColumns.from_records(recs)
+        a, na = mark_duplicates_columns(cols_a)
+        b, nb, _ = mark_duplicates_columns(cols_b, return_metrics=True)
+        assert na == nb
+        np.testing.assert_array_equal(a.fixed, b.fixed)
