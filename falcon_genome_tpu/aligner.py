@@ -168,6 +168,38 @@ class MinimizerIndex:
         contigs = [(c.name, fasta.contig_codes(c.name)) for c in fasta.dict]
         return cls(contigs, params)
 
+    # -- prebuilt-index serialization (the reference's .mmi probe:
+    #    Minimap2Worker.cpp check() swaps in get_fname_by_ext(ref,"mmi")
+    #    when it exists; ours is an .npz of the built arrays) -------------
+    def save(self, path) -> str:
+        np.savez_compressed(
+            path, k=self.params.k, w=self.params.w,
+            max_hits=self.params.max_hits,
+            names=np.array(self.contig_names),
+            lengths=np.asarray(self.contig_lengths, np.int64),
+            genome=self.genome, hashes=self.hashes,
+            positions=self.positions, strands=self.strands)
+        return str(path)
+
+    @classmethod
+    def load(cls, path) -> "MinimizerIndex":
+        z = np.load(path, allow_pickle=False)
+        idx = cls.__new__(cls)
+        idx.params = IndexParams(k=int(z["k"]), w=int(z["w"]),
+                                 max_hits=int(z["max_hits"]))
+        idx.contig_names = [str(n) for n in z["names"]]
+        idx.contig_lengths = [int(x) for x in z["lengths"]]
+        idx.offsets = np.concatenate(
+            [[0], np.cumsum(idx.contig_lengths)]).astype(np.int64)
+        idx.genome = z["genome"]
+        idx.contig_codes = [
+            idx.genome[idx.offsets[i]:idx.offsets[i + 1]]
+            for i in range(len(idx.contig_names))]
+        idx.hashes = z["hashes"]
+        idx.positions = z["positions"]
+        idx.strands = z["strands"]
+        return idx
+
     def tid_of(self, gpos: int) -> tuple[int, int]:
         """Global position → (tid, local position)."""
         tid = int(np.searchsorted(self.offsets, gpos, side="right")) - 1

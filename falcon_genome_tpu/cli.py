@@ -75,6 +75,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-P", "--platform", default="illumina")
     p.add_argument("--disable-merge", action="store_true")
     p.add_argument("--num-buckets", type=int, default=0)
+    p.add_argument("--long-reads", action="store_true",
+                   help="minimap-class long-read alignment "
+                        "(gap-cost chaining, single-end records)")
 
     p = sub.add_parser("markdup")
     _base(p, ref=False)
@@ -200,7 +203,8 @@ def dispatch(args: argparse.Namespace, conf) -> None:
                          sample_id=args.sample_id, read_group=args.rg,
                          platform=args.platform, library=args.library,
                          num_buckets=args.num_buckets,
-                         merge=not args.disable_merge, force=args.force)
+                         merge=not args.disable_merge,
+                         long_reads=args.long_reads, force=args.force)
     elif cmd == "markdup":
         stages.run_markdup(conf, args.input, args.output, force=args.force)
     elif cmd == "baserecal":

@@ -133,6 +133,9 @@ def build_option_table() -> dict[str, Option]:
         O("minimap.nt", int, -1, "host threads for minimap-class long-read path"),
         O("minimap.num_buckets", int, 2048, "buckets for long-read aligned output"),
         O("minimap.enforce_order", bool, False, "strict ordering for minimap path"),
+        O("minimap.k", int, 19, "long-read minimizer k (map-ont neighborhood)"),
+        O("minimap.w", int, 10, "long-read minimizer window"),
+        O("tpu.batch.long_reads", int, 512, "long reads per device batch"),
         # ---- markdup / merge / sort (ref: config.cpp:311-318) ---------------
         O("markdup.max_files", int, 4096, "max open shard files in markdup"),
         O("markdup.nt", int, lambda m: min(16, m.cpu_num),

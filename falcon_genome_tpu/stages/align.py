@@ -119,14 +119,26 @@ class AlignSink:
             shutil.rmtree(self.dir, ignore_errors=True)
 
 
-def _align_read_group(engine: AlignerEngine, det: SampleDetails,
+def _align_read_group(engine, det: SampleDetails,
                       batch_size: int, sink: AlignSink) -> int:
+    from ..longread import LongReadAligner
+    long_mode = isinstance(engine, LongReadAligner)
     reader = FastqReader(check_input(det.fastq1),
                          check_input(det.fastq2) if det.fastq2 else None,
                          batch_size=batch_size)
     from concurrent.futures import ThreadPoolExecutor
 
     def align(b1, b2):
+        if long_mode:
+            # long reads are single-end (no proper-pair model); a second
+            # FASTQ aligns as independent reads (Minimap2Worker takes
+            # both files but minimap has no pairing either)
+            def rows(b):
+                return [b.codes[i, :b.lengths[i]]
+                        for i in range(len(b.lengths))]
+            return (engine.align_batch(rows(b1)),
+                    engine.align_batch(rows(b2)) if b2 is not None
+                    else None)
         if b2 is not None:
             # mates align as ONE device batch with pair-aware selection
             # (proper-pair bonus + mate rescue)
@@ -135,6 +147,13 @@ def _align_read_group(engine: AlignerEngine, det: SampleDetails,
         return engine.align_batch(b1.codes, b1.lengths), None
 
     def emit(b1, b2, res1, res2):
+        if long_mode:
+            sink.add(alignments_to_columns(
+                b1, res1, read_group=det.read_group))
+            if b2 is not None:
+                sink.add(alignments_to_columns(
+                    b2, res2, read_group=det.read_group))
+            return
         sink.add(alignments_to_columns(
             b1, res1, b2, res2, params=engine.params,
             read_group=det.read_group))
@@ -216,12 +235,24 @@ def run_align(conf: Config, ref: str, output: str,
               sample_id: str = "sample", read_group: str = "rg0",
               platform: str = "illumina", library: str = "lib0",
               num_buckets: int | None = None, merge: bool = True,
-              force: bool = False) -> list[str]:
+              long_reads: bool = False, force: bool = False) -> list[str]:
     """Returns the list of written BAM paths (one per sample)."""
     fa = load_fasta(ref)
-    index = load_index(ref)
-    engine = AlignerEngine(index, AlignerParams())
-    batch_size = conf.get("tpu.batch.reads")
+    if long_reads:
+        # minimap-flow analog (Minimap2Worker.cpp:51-106): longer k/w
+        # seeding, gap-cost chaining, no proper-pair model
+        from ..aligner import IndexParams
+        from ..longread import LongReadAligner, LongReadParams
+        from .common import load_long_index
+        lp = LongReadParams(index=IndexParams(
+            k=conf.get("minimap.k"), w=conf.get("minimap.w"),
+            max_hits=256))
+        engine = LongReadAligner(load_long_index(ref, lp.index), lp)
+        batch_size = conf.get("tpu.batch.long_reads")
+    else:
+        index = load_index(ref)
+        engine = AlignerEngine(index, AlignerParams())
+        batch_size = conf.get("tpu.batch.reads")
 
     if sample_sheet:
         sheet = load_sample_sheet(sample_sheet)
@@ -247,7 +278,9 @@ def run_align(conf: Config, ref: str, output: str,
             for d in details for p in (d.fastq1, d.fastq2)
             if p and Path(p).exists())
         spill = fastq_bytes > spill_bytes
-        nb_spill = (num_buckets or conf.get("bwa.num_buckets")) if spill \
+        default_nb = conf.get("minimap.num_buckets" if long_reads
+                              else "bwa.num_buckets")
+        nb_spill = (num_buckets or default_nb) if spill \
             else (num_buckets or 1)
         sink = AlignSink(fa, nb_spill, spill, conf.get("temp_dir"))
         if sink.spill:

@@ -58,6 +58,22 @@ def load_index(ref_path: str, params: IndexParams = IndexParams()
     return idx
 
 
+def load_long_index(ref_path: str, params: IndexParams) -> MinimizerIndex:
+    """Long-read index: probe a prebuilt ``.mmi.npz`` next to the
+    reference first (the reference's .mmi swap, Minimap2Worker.cpp
+    check()), else build/cache at the long-read k/w via load_index."""
+    ref_path = check_input(ref_path)
+    for cand in (Path(ref_path).with_suffix(".mmi.npz"),
+                 Path(str(ref_path) + ".mmi.npz")):
+        if cand.exists():
+            key = f"{cand}"
+            if key not in _INDEX_CACHE:
+                log.info("loading prebuilt long-read index %s", cand)
+                _INDEX_CACHE[key] = MinimizerIndex.load(cand)
+            return _INDEX_CACHE[key]
+    return load_index(ref_path, params)
+
+
 def interval_shards(conf: Config, fa: FastaFile) -> list[list[Interval]]:
     """The P1 sharding plan (gatk.ncontigs equal-bp shards)."""
     return split_equal_bp(fa.dict, conf.get("gatk.ncontigs"),

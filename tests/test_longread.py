@@ -1,0 +1,170 @@
+"""Long-read (minimap-flow analog) path: chaining, piecewise alignment,
+prebuilt index, CLI.  Ref: src/workers/Minimap2Worker.cpp:51-106."""
+import numpy as np
+import pytest
+
+from falcon_genome_tpu.aligner import IndexParams, MinimizerIndex
+from falcon_genome_tpu.io.dna import decode_seq, revcomp_codes
+from falcon_genome_tpu.io.sam import CIGAR_D, CIGAR_I, CIGAR_M, CIGAR_S
+from falcon_genome_tpu.longread import (
+    LongReadAligner, LongReadParams, chain_anchors)
+
+
+@pytest.fixture(scope="module")
+def world(tmp_path_factory):
+    rng = np.random.default_rng(11)
+    G = 120_000
+    genome = rng.integers(0, 4, G).astype(np.uint8)
+    p = LongReadParams()
+    idx = MinimizerIndex([("chr1", genome)], p.index)
+    return {"rng": rng, "genome": genome, "idx": idx, "params": p,
+            "tmp": tmp_path_factory.mktemp("longread")}
+
+
+def _sim_long_read(rng, genome, pos, L, err=0.05):
+    """ONT-ish error profile: ~err/3 each of ins/del/sub."""
+    r = genome[pos:pos + L]
+    out = []
+    i = 0
+    while i < len(r):
+        u = rng.random()
+        if u < err / 3:
+            out.append(rng.integers(0, 4))
+        elif u < 2 * err / 3:
+            i += 1
+        elif u < err:
+            out.append((r[i] + 1 + rng.integers(0, 3)) % 4)
+            i += 1
+        else:
+            out.append(r[i])
+            i += 1
+    return np.array(out, np.uint8)
+
+
+class TestChaining:
+    def test_collinear_anchors_chain(self):
+        p = LongReadParams()
+        q = np.arange(0, 500, 25)
+        r = q + 10_000
+        chain, score, other = chain_anchors(q, r, 19, p)
+        assert len(chain) == len(q)          # all collinear → one chain
+        assert score > 19 * 2
+        assert other == 0.0
+
+    def test_off_diagonal_outlier_excluded(self):
+        p = LongReadParams()
+        q = np.array([0, 25, 50, 75, 100, 60])
+        r = np.array([0, 25, 50, 75, 100, 90_000]) + 5000
+        chain, _, _ = chain_anchors(q, r, 19, p)
+        assert len(chain) == 5               # the far-locus anchor drops
+
+    def test_second_locus_scores_as_competitor(self):
+        p = LongReadParams()
+        # two copies of the same anchor ladder at distant loci
+        q = np.tile(np.arange(0, 300, 25), 2)
+        r = np.concatenate([np.arange(0, 300, 25) + 1000,
+                            np.arange(0, 300, 25) + 50_000])
+        chain, score, other = chain_anchors(q, r, 19, p)
+        assert other > 0.5 * score           # repeat → strong competitor
+
+
+class TestLongReadAligner:
+    def test_accuracy_at_5pct_error(self, world):
+        rng = np.random.default_rng(3)
+        genome = world["genome"]
+        eng = LongReadAligner(world["idx"], world["params"])
+        reads, truth = [], []
+        for t in range(16):
+            pos = int(rng.integers(0, len(genome) - 6000))
+            L = int(rng.integers(1000, 5000))
+            r = _sim_long_read(rng, genome, pos, L)
+            if t % 2:
+                r = revcomp_codes(r)
+            reads.append(r)
+            truth.append((pos, t % 2 == 1))
+        alns = eng.align_batch(reads)
+        ok = 0
+        for a, (pos, is_rev), r in zip(alns, truth, reads):
+            assert a.mapped
+            # CIGAR must consume the read exactly
+            qcons = sum(n for op, n in a.cigar
+                        if op in (CIGAR_M, CIGAR_I, CIGAR_S))
+            assert qcons == len(r)
+            if a.is_rev == is_rev and abs(a.pos - pos) < 100:
+                ok += 1
+            assert a.mapq >= 20              # unique placements
+        assert ok == len(reads)
+
+    def test_unmappable_read_unmapped(self, world):
+        rng = np.random.default_rng(4)
+        eng = LongReadAligner(world["idx"], world["params"])
+        junk = rng.integers(0, 4, 2000).astype(np.uint8)
+        # random sequence: anchors are chance collisions only
+        alns = eng.align_batch([junk])
+        if alns[0].mapped:                   # tolerated only if weak
+            assert alns[0].mapq <= 10
+
+    def test_nm_reflects_error_rate(self, world):
+        rng = np.random.default_rng(5)
+        genome = world["genome"]
+        eng = LongReadAligner(world["idx"], world["params"])
+        pos, L = 10_000, 3000
+        r = _sim_long_read(rng, genome, pos, L, err=0.05)
+        a = eng.align_batch([r])[0]
+        assert a.mapped
+        # ~5% errors → NM in a sane band (patching can inflate slightly)
+        assert 0.01 * L < a.nm < 0.15 * L
+
+
+class TestPrebuiltIndex:
+    def test_mmi_roundtrip(self, world, tmp_path):
+        idx = world["idx"]
+        p = tmp_path / "ref.mmi.npz"
+        idx.save(p)
+        back = MinimizerIndex.load(p)
+        assert back.params == idx.params
+        assert back.contig_names == idx.contig_names
+        np.testing.assert_array_equal(back.hashes, idx.hashes)
+        np.testing.assert_array_equal(back.positions, idx.positions)
+        np.testing.assert_array_equal(back.genome, idx.genome)
+        # a loaded index aligns identically
+        rng = np.random.default_rng(6)
+        r = _sim_long_read(rng, world["genome"], 5000, 2000)
+        a1 = LongReadAligner(idx, world["params"]).align_batch([r])[0]
+        a2 = LongReadAligner(back, world["params"]).align_batch([r])[0]
+        assert (a1.pos, a1.cigar) == (a2.pos, a2.cigar)
+
+
+class TestLongReadCLI:
+    def test_align_long_reads_e2e(self, world, tmp_path):
+        from falcon_genome_tpu import cli
+        from falcon_genome_tpu.io.bam import read_bam
+        from falcon_genome_tpu.io.fasta import write_fasta
+        from falcon_genome_tpu.io.fastq import write_fastq
+
+        rng = np.random.default_rng(7)
+        genome = world["genome"]
+        ref = tmp_path / "ref.fa"
+        write_fasta(ref, {"chr1": decode_seq(genome)})
+        names, seqs, quals, truth = [], [], [], []
+        for t in range(8):
+            pos = int(rng.integers(0, len(genome) - 4000))
+            L = int(rng.integers(1000, 3000))
+            r = _sim_long_read(rng, genome, pos, L)
+            names.append(f"lr{t}")
+            seqs.append(decode_seq(r))
+            quals.append("I" * len(r))
+            truth.append(pos)
+        fq = tmp_path / "lr.fastq"
+        write_fastq(fq, names, seqs, quals)
+        out = tmp_path / "lr.bam"
+        rc = cli.main(["align", "-r", str(ref), "-1", str(fq),
+                       "-o", str(out), "--long-reads", "-f"])
+        assert rc == 0
+        header, recs = read_bam(str(out))
+        by_name = {r.qname: r for r in recs}
+        assert len(by_name) == 8
+        for t, pos in enumerate(truth):
+            rec = by_name[f"lr{t}"]
+            assert not rec.is_unmapped
+            assert abs(rec.pos - pos) < 100
