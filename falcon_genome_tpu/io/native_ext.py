@@ -89,6 +89,11 @@ def load() -> ctypes.CDLL | None:
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+        lib.fg_chain_anchors.restype = ctypes.c_int64
+        lib.fg_chain_anchors.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p]
         _lib = lib
         log.debug("loaded native fgio: %s", _SO)
     except Exception as e:  # missing toolchain → python fallback
@@ -330,3 +335,21 @@ def bam_scan(blob: bytes):
                         seq.ctypes.data, qual.ctypes.data)
     return (bool(ok), fixed, offs, cig_off[:nrec], cops[:tcig],
             clens[:tcig], seq[:tseq], qual[:tseq])
+
+
+def chain_anchors(qs: np.ndarray, rs: np.ndarray, k: int, lookback: int,
+                  max_gap: int):
+    """minimap2-class chaining DP (longread.chain_anchors inner loop).
+    Returns (f, parent, best_end) or None without the native lib."""
+    lib = load()
+    if lib is None:
+        return None
+    qs = np.ascontiguousarray(qs, np.int64)
+    rs = np.ascontiguousarray(rs, np.int64)
+    n = len(qs)
+    f = np.empty(n, np.float64)
+    parent = np.empty(n, np.int64)
+    end = lib.fg_chain_anchors(qs.ctypes.data, rs.ctypes.data, n,
+                               k, lookback, max_gap,
+                               f.ctypes.data, parent.ctypes.data)
+    return f, parent, int(end)

@@ -75,26 +75,32 @@ def chain_anchors(q: np.ndarray, r: np.ndarray, k: int,
     order = np.lexsort((q, r))
     qs, rs = q[order].astype(np.int64), r[order].astype(np.int64)
     L = min(params.lookback, n)
-    f = np.full(n, float(k))
-    parent = np.full(n, -1, np.int64)
-    # vectorized over the lookback window; serial over anchors
-    for i in range(1, n):
-        j0 = max(0, i - L)
-        dq = qs[i] - qs[j0:i]
-        dr = rs[i] - rs[j0:i]
-        gap = np.abs(dr - dq)
-        ok = (dq > 0) & (dr > 0) & (dq <= params.max_gap) \
-            & (dr <= params.max_gap)
-        if not ok.any():
-            continue
-        gain = np.minimum(np.minimum(dq, dr), k).astype(np.float64) \
-            - 0.01 * k * gap - 0.5 * np.log2(gap + 1.0)
-        cand = np.where(ok, f[j0:i] + gain, -np.inf)
-        b = int(np.argmax(cand))
-        if cand[b] > f[i]:
-            f[i] = cand[b]
-            parent[i] = j0 + b
-    end = int(np.argmax(f))
+    from .io import native_ext
+    nat = native_ext.chain_anchors(qs, rs, k, L, params.max_gap)
+    if nat is not None:
+        f, parent, end = nat
+    else:
+        # python golden model of fg_chain_anchors: vectorized over the
+        # lookback window, serial over anchors
+        f = np.full(n, float(k))
+        parent = np.full(n, -1, np.int64)
+        for i in range(1, n):
+            j0 = max(0, i - L)
+            dq = qs[i] - qs[j0:i]
+            dr = rs[i] - rs[j0:i]
+            gap = np.abs(dr - dq)
+            ok = (dq > 0) & (dr > 0) & (dq <= params.max_gap) \
+                & (dr <= params.max_gap)
+            if not ok.any():
+                continue
+            gain = np.minimum(np.minimum(dq, dr), k).astype(np.float64) \
+                - 0.01 * k * gap - 0.5 * np.log2(gap + 1.0)
+            cand = np.where(ok, f[j0:i] + gain, -np.inf)
+            b = int(np.argmax(cand))
+            if cand[b] > f[i]:
+                f[i] = cand[b]
+                parent[i] = j0 + b
+        end = int(np.argmax(f))
     chain = []
     i = end
     while i >= 0:

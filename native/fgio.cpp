@@ -15,6 +15,7 @@
 // Build: native/build.sh  (g++ -O3 -shared -fPIC fgio.cpp -lz)
 
 #include <cctype>
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <algorithm>
@@ -871,6 +872,43 @@ int64_t fg_assemble_region(
     return nh;
   }
   return emit_ref_only(kmer_sizes[n_k - 1]);
+}
+
+// minimap2-class anchor chaining DP (longread.py::chain_anchors twin).
+// qs/rs: anchor read/ref positions already sorted by (r, q).  Writes the
+// per-anchor best score f and the predecessor index parent (-1 = chain
+// start); returns argmax f.  Scoring matches the python golden model:
+// gain = min(dq, dr, k) - 0.01*k*|dr-dq| - 0.5*log2(|dr-dq|+1).
+int64_t fg_chain_anchors(const int64_t* qs, const int64_t* rs, int64_t n,
+                         int32_t k, int32_t lookback, int64_t max_gap,
+                         double* f, int64_t* parent) {
+  if (n <= 0) return -1;
+  const double kf = (double)k;
+  for (int64_t i = 0; i < n; i++) {
+    f[i] = kf;
+    parent[i] = -1;
+    int64_t j0 = i - lookback;
+    if (j0 < 0) j0 = 0;
+    double best = kf;
+    int64_t bj = -1;
+    for (int64_t j = j0; j < i; j++) {
+      int64_t dq = qs[i] - qs[j];
+      int64_t dr = rs[i] - rs[j];
+      if (dq <= 0 || dr <= 0 || dq > max_gap || dr > max_gap) continue;
+      int64_t gap = dr > dq ? dr - dq : dq - dr;
+      int64_t mn = dq < dr ? dq : dr;
+      double gain = (double)(mn < k ? mn : k)
+          - 0.01 * kf * (double)gap - 0.5 * std::log2((double)gap + 1.0);
+      double cand = f[j] + gain;
+      if (cand > best) { best = cand; bj = j; }
+    }
+    f[i] = best;
+    parent[i] = bj;
+  }
+  int64_t end = 0;
+  for (int64_t i = 1; i < n; i++)
+    if (f[i] > f[end]) end = i;
+  return end;
 }
 
 }  // extern "C"

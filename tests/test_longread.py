@@ -168,3 +168,44 @@ class TestLongReadCLI:
             rec = by_name[f"lr{t}"]
             assert not rec.is_unmapped
             assert abs(rec.pos - pos) < 100
+
+
+class TestNativeChaining:
+    def test_native_matches_python(self):
+        from falcon_genome_tpu.io import native_ext
+        if not native_ext.available():
+            pytest.skip("native ext unavailable")
+        rng = np.random.default_rng(9)
+        p = LongReadParams()
+        for trial in range(5):
+            n = int(rng.integers(5, 400))
+            q = np.sort(rng.integers(0, 5000, n)).astype(np.int64)
+            r = q + rng.integers(-20, 20, n) + 7777
+            r[rng.random(n) < 0.2] = rng.integers(0, 100_000)  # noise
+            order = np.lexsort((q, r))
+            qs, rs = q[order], r[order].astype(np.int64)
+            f, parent, end = native_ext.chain_anchors(
+                qs, rs, 19, min(p.lookback, n), p.max_gap)
+            # python golden model
+            fg = np.full(n, 19.0)
+            pg = np.full(n, -1, np.int64)
+            L = min(p.lookback, n)
+            for i in range(1, n):
+                j0 = max(0, i - L)
+                dq = qs[i] - qs[j0:i]
+                dr = rs[i] - rs[j0:i]
+                gap = np.abs(dr - dq)
+                ok = (dq > 0) & (dr > 0) & (dq <= p.max_gap) \
+                    & (dr <= p.max_gap)
+                if not ok.any():
+                    continue
+                gain = np.minimum(np.minimum(dq, dr), 19).astype(float) \
+                    - 0.01 * 19 * gap - 0.5 * np.log2(gap + 1.0)
+                cand = np.where(ok, fg[j0:i] + gain, -np.inf)
+                b = int(np.argmax(cand))
+                if cand[b] > fg[i]:
+                    fg[i] = cand[b]
+                    pg[i] = j0 + b
+            np.testing.assert_allclose(f, fg, rtol=1e-12)
+            np.testing.assert_array_equal(parent, pg)
+            assert end == int(np.argmax(fg))
