@@ -64,15 +64,46 @@ class BamInputSource:
     every shard task); inputs above the ``tpu.bam.stream_mb`` threshold
     with a ``.bai`` stream each shard's region straight from the indexed
     BGZF blocks — bounded memory at WGS scale, no whole-file
-    materialization."""
+    materialization.
+
+    A bucket-FOLDER input whose parts carry ``.list``/``.bed`` region
+    sidecars (printreads writes them, stages/bqsr.py) is pruned per
+    shard: only parts whose declared regions intersect the shard are
+    decoded — the reference's per-bucket region merge
+    (src/BamInput.cpp:73-149)."""
 
     def __init__(self, path: str, stream_threshold_bytes: int = 256 << 20):
         p = Path(path)
         self.path = p
+        self.parts: list[str] | None = None
+        self._cols: RecordColumns | None = None
+        self.stream = False
+        if p.is_dir():
+            parts = get_input_list(p, r"part-\d+.*\.bam")
+            regions = []
+            for part in parts:
+                have = None
+                for ext in (".list", ".bed"):
+                    side = Path(part).with_suffix(ext)
+                    if side.exists():
+                        from ..io.intervals import read_interval_list
+                        have = read_interval_list(side)
+                        break
+                regions.append(have)
+            total = sum(Path(x).stat().st_size for x in parts)
+            if (parts and all(r is not None for r in regions)
+                    and total > stream_threshold_bytes):
+                # region-pruned streaming over the bucket tree
+                self.parts = parts
+                self.part_regions = regions
+                with BamReader(parts[0]) as r:
+                    self.header = r.header
+                return
+            self.header, self._cols = load_bam_input_columns(path)
+            return
         self.stream = (p.is_file()
                        and Path(str(p) + ".bai").exists()
                        and p.stat().st_size > stream_threshold_bytes)
-        self._cols: RecordColumns | None = None
         if self.stream:
             with BamReader(p) as r:
                 self.header = r.header
@@ -90,6 +121,19 @@ class BamInputSource:
         every record lands in exactly one shard) — for partitioning
         stages like printreads where overlap selection would emit
         boundary-spanning reads twice."""
+        if self.parts is not None:
+            # bucket folder: decode only region-intersecting parts
+            picked = []
+            for part, regions in zip(self.parts, self.part_regions):
+                hit = any(
+                    iv.contig == pr.contig
+                    and iv.start <= pr.end and pr.start <= iv.end
+                    for iv in shard for pr in regions)
+                if hit:
+                    picked.append(read_bam_columns(part)[1])
+            cols = (RecordColumns.concat(picked) if picked
+                    else RecordColumns.from_records([]))
+            return self._filter_shard(cols, shard, by_start)
         if self.stream:
             _, cols = read_bam_region_columns(
                 self.path,
@@ -103,8 +147,12 @@ class BamInputSource:
                 m |= ((f[:, F_TID] == t) & (f[:, F_POS] >= iv.start - 1)
                       & (f[:, F_POS] < iv.end))
             return cols.take(np.flatnonzero(m))
-        f = self._cols.fixed
-        m = np.zeros(len(self._cols), bool)
+        return self._filter_shard(self._cols, shard, by_start)
+
+    def _filter_shard(self, cols: RecordColumns, shard,
+                      by_start: bool) -> RecordColumns:
+        f = cols.fixed
+        m = np.zeros(len(cols), bool)
         for iv in shard:
             t = self.header.tid(iv.contig)
             if by_start:
@@ -114,7 +162,7 @@ class BamInputSource:
                 m |= ((f[:, F_TID] == t) & (f[:, F_POS] < iv.end)
                       & (f[:, F_ENDPOS] > iv.start - 1))
         m &= (f[:, F_FLAG] & FLAG_UNMAPPED) == 0
-        return self._cols.take(np.flatnonzero(m))
+        return cols.take(np.flatnonzero(m))
 
     def records_for(self, shard) -> list:
         """Records overlapping a shard (list of Intervals), mapped only."""
