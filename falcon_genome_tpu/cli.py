@@ -166,6 +166,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-S", "--sample-id", default="sample")
     p.add_argument("-R", "--rg", default="rg0")
     p.add_argument("-v", "--produce-vcf", action="store_true")
+    p.add_argument("--long-reads", action="store_true",
+                   help="minimap-class long-read alignment (the fast-"
+                        "germline driver's Minimap2Worker path)")
 
     p = sub.add_parser("concat")
     _base(p, ref=False)
@@ -268,7 +271,8 @@ def dispatch(args: argparse.Namespace, conf) -> None:
                             fastq1=args.fastq1, fastq2=args.fastq2,
                             sample_sheet=args.sample_sheet,
                             sample_id=args.sample_id, read_group=args.rg,
-                            produce_vcf=args.produce_vcf, force=args.force)
+                            produce_vcf=args.produce_vcf,
+                            long_reads=args.long_reads, force=args.force)
     elif cmd == "concat":
         stages.run_concat(conf, args.input_dir, args.output,
                           force=args.force)

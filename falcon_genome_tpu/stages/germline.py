@@ -24,7 +24,7 @@ def run_germline(conf: Config, ref: str, output_vcf: str,
                  sample_sheet: str | None = None,
                  sample_id: str = "sample", read_group: str = "rg0",
                  produce_vcf: bool = False, markdup: bool = True,
-                 work_dir: str | None = None,
+                 work_dir: str | None = None, long_reads: bool = False,
                  force: bool = False) -> str:
     # validate the final output BEFORE any alignment work (the reference
     # checks outputs in Worker::check() ahead of execution —
@@ -36,7 +36,7 @@ def run_germline(conf: Config, ref: str, output_vcf: str,
     bam_paths = run_align(
         conf, ref, str(work / "aligned.bam"), fastq1=fastq1, fastq2=fastq2,
         sample_sheet=sample_sheet, sample_id=sample_id,
-        read_group=read_group, force=True)
+        read_group=read_group, long_reads=long_reads, force=True)
     bam = bam_paths[0]
     if markdup:
         bam = run_markdup(conf, bam, str(work / "dedup.bam"), force=True)

@@ -209,3 +209,50 @@ class TestNativeChaining:
             np.testing.assert_allclose(f, fg, rtol=1e-12)
             np.testing.assert_array_equal(parent, pg)
             assert end == int(np.argmax(fg))
+
+
+class TestLongReadGermline:
+    def test_germline_long_reads_e2e(self, world, tmp_path):
+        """Fast-germline with the long-read aligner (the reference's
+        worker-germline.cpp:191 Minimap2Worker path): planted SNVs must
+        come back despite 5% read error."""
+        from falcon_genome_tpu import cli
+        from falcon_genome_tpu.io.fasta import write_fasta
+        from falcon_genome_tpu.io.fastq import write_fastq
+        from falcon_genome_tpu.io.vcf import read_vcf
+
+        rng = np.random.default_rng(21)
+        G = 60_000
+        genome = rng.integers(0, 4, G).astype(np.uint8)
+        ref = tmp_path / "ref.fa"
+        write_fasta(ref, {"chr1": decode_seq(genome)})
+        truth = sorted(int(x) for x in
+                       rng.choice(np.arange(2000, G - 2000), 8,
+                                  replace=False))
+        hap = genome.copy()
+        for t in truth:
+            hap[t] = (hap[t] + 1) % 4
+        names, seqs, quals = [], [], []
+        # ~30x coverage of 2kb reads, half hap half ref (het sites)
+        for i in range(900):
+            pos = int(rng.integers(0, G - 2100))
+            src = hap if i % 2 == 0 else genome
+            r = _sim_long_read(rng, src, pos, 2000, err=0.05)
+            if i % 4 == 1:
+                r = revcomp_codes(r)
+            names.append(f"g{i}")
+            seqs.append(decode_seq(r))
+            quals.append("I" * len(r))
+        fq = tmp_path / "g.fastq"
+        write_fastq(fq, names, seqs, quals)
+        out = tmp_path / "g.vcf.gz"
+        rc = cli.main(["germline", "-r", str(ref), "-1", str(fq),
+                       "-o", str(out), "--long-reads", "-S", "lr",
+                       "--produce-vcf", "-f"])
+        assert rc == 0
+        _, recs = read_vcf(str(out))
+        called = {r.pos - 1 for r in recs
+                  if r.alts and r.alts[0] not in ("<NON_REF>", ".")}
+        found = sum(1 for t in truth if t in called)
+        # long-read SNV calling at 5% error: most planted sites recover
+        assert found >= len(truth) * 0.7, (found, len(truth))
