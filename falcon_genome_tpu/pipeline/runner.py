@@ -33,6 +33,7 @@ import traceback
 from pathlib import Path
 from typing import Callable
 
+from ..utils.common import rss_suffix
 from ..utils.errors import FailedCommand
 from ..utils.logutils import find_error
 
@@ -146,8 +147,8 @@ class PipelineRunner:
                                        traceback.format_exc()))
         elapsed = time.time() - t0
         self.timings[s.name] = elapsed
-        log.info("[%s] %s finishes in %d seconds", self.name, s.name,
-                 int(elapsed))
+        log.info("[%s] %s finishes in %d seconds%s", self.name, s.name,
+                 int(elapsed), rss_suffix())
         if errors:
             # operative diagnosis: scrape the per-task logs, de-duplicated
             # across shards (Executor.cpp:74-99 + LogUtils::findError)

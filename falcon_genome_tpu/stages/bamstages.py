@@ -22,7 +22,8 @@ from ..io.bam import (
     BamReader, read_bam_columns, read_bam_region_columns, write_bam_columns)
 from ..io.columns import F_ENDPOS, F_FLAG, F_POS, F_TID, RecordColumns
 from ..io.sam import FLAG_UNMAPPED
-from ..utils.common import check_input, check_output, get_input_list
+from ..utils.common import (
+    check_input, check_output, get_input_list, rss_suffix)
 
 log = logging.getLogger("falcon_genome_tpu")
 
@@ -189,8 +190,8 @@ def run_markdup(conf: Config, input_path: str, output: str,
     write_bam_columns(output, header, cols, order=cols.coordinate_order())
     log.info(
         "markdup: %d records, %d duplicates (%d optical), "
-        "%d pairs / %d unpaired examined, est. library size %s → %s",
+        "%d pairs / %d unpaired examined, est. library size %s → %s%s",
         len(cols), ndup, metrics.optical_duplicates,
         metrics.pairs_examined, metrics.unpaired_examined,
-        metrics.estimated_library_size, output)
+        metrics.estimated_library_size, output, rss_suffix())
     return output

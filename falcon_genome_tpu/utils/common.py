@@ -240,3 +240,19 @@ def iter_chunks(seq: Iterable, n: int):
             buf = []
     if buf:
         yield buf
+
+
+def rss_suffix() -> str:
+    """' (rss X.X GB, peak Y.Y GB)' from /proc/self/status — per-stage
+    memory telemetry for WGS-scale runs; empty off Linux."""
+    try:
+        cur = peak = 0
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS"):
+                    cur = int(line.split()[1])
+                elif line.startswith("VmHWM"):
+                    peak = int(line.split()[1])
+        return f" (rss {cur / 1e6:.1f} GB, peak {peak / 1e6:.1f} GB)"
+    except OSError:
+        return ""
