@@ -157,15 +157,31 @@ def _unclipped_coords_columns(cols, sel: np.ndarray):
 
 
 def _qual_sums_columns(cols) -> np.ndarray:
-    """(N,) per-record base-quality sums (quals ≥ 15), qstar records 0."""
+    """(N,) per-record base-quality sums (quals ≥ 15), qstar records 0.
+
+    Chunked over records: a whole-blob int64 cumsum costs ~24 bytes per
+    base (36 GB at a 10M-read WGS shard — the round-2 dress rehearsal's
+    RSS spike); per-chunk intermediates bound the extra memory to ~tens
+    of MB regardless of input size."""
     from .io.columns import F_LSEQ, F_QSTAR, qual_phred_blob
-    q = qual_phred_blob(cols).astype(np.int64)
-    w = np.where(q >= 15, q, 0)
-    c = np.zeros(len(w) + 1, np.int64)
-    np.cumsum(w, out=c[1:])
+    q8 = qual_phred_blob(cols)                      # (total bases,) uint8
     soff = cols.seq_off.astype(np.int64)
     lseq = cols.fixed[:, F_LSEQ].astype(np.int64)
-    s = c[soff + lseq] - c[soff]
+    n = len(cols)
+    s = np.zeros(n, np.int64)
+    CH = 1 << 20                                    # records per chunk
+    for a in range(0, n, CH):
+        b = min(a + CH, n)
+        # min/max (not [a]/[b-1]) keeps this correct for permuted
+        # offsets (post-take columns); packed file-order inputs still
+        # get the tight contiguous span
+        lo = int(soff[a:b].min(initial=0))
+        hi = int((soff[a:b] + lseq[a:b]).max(initial=0))
+        q = q8[lo:hi].astype(np.int32)
+        w = np.where(q >= 15, q, 0)
+        c = np.zeros(len(w) + 1, np.int64)
+        np.cumsum(w, out=c[1:])
+        s[a:b] = c[soff[a:b] + lseq[a:b] - lo] - c[soff[a:b] - lo]
     s[cols.fixed[:, F_QSTAR] != 0] = 0
     return s
 
