@@ -252,6 +252,38 @@ def _likelihoods_multi(staged: list[dict], gcp: int) -> list[np.ndarray]:
     return out
 
 
+class ReadSelector:
+    """Region→read selection over a shard, indexed once.
+
+    A per-region ``for r in records`` scan is O(regions × records) —
+    ~585M attribute checks per WGS shard, the round-2 dress rehearsal's
+    HTC wall.  One vectorized pass extracts (pos, end, usable) arrays;
+    each region then binary-searches the sorted starts and touches only
+    reads near the region."""
+
+    def __init__(self, records: list[SamRecord], min_mapq: int):
+        n = len(records)
+        self.records = records
+        self.pos = np.fromiter((r.pos for r in records), np.int64, n)
+        self.endp = np.fromiter((r.end_pos for r in records), np.int64, n)
+        self.ok = np.fromiter(
+            ((not r.is_unmapped and not r.is_duplicate
+              and not (r.flag & 0x900) and r.mapq >= min_mapq
+              and r.seq not in ("*", "")) for r in records), bool, n)
+        self.order = np.argsort(self.pos, kind="stable")
+        self.pos_sorted = self.pos[self.order]
+        self.max_span = int((self.endp - self.pos).max(initial=1))
+
+    def __call__(self, rstart: int, rend: int, cap: int) -> list[SamRecord]:
+        lo = int(np.searchsorted(self.pos_sorted, rstart - self.max_span))
+        hi = int(np.searchsorted(self.pos_sorted, rend))
+        cand = self.order[lo:hi]
+        cand = cand[(self.endp[cand] > rstart) & (self.pos[cand] < rend)
+                    & self.ok[cand]]
+        cand.sort()                         # original record order
+        return [self.records[i] for i in cand[:cap]]
+
+
 class HaplotypeCaller:
     def __init__(self, params: HTCParams = None):
         self.params = params or HTCParams()
@@ -318,10 +350,12 @@ class HaplotypeCaller:
         p = self.params
         regions = find_active_regions(records, ref, start, end, p.active)
 
+        select_reads = ReadSelector(records, p.min_mapq)
+
         # ---- phase 1 (host): read selection + assembly per region --------
         staged = []
         for rstart, rend in regions:
-            reads = self._select_reads(records, rstart, rend)
+            reads = select_reads(rstart, rend, p.max_reads_per_region)
             if not reads:
                 continue
             region_ref = ref[rstart:rend]
