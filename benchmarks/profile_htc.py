@@ -1,6 +1,6 @@
 """Profile the HaplotypeCaller host path at mid scale.
 
-Simulates a 2 Mb contig at ~30x with planted het SNPs and runs
+Simulates a 2 Mb contig at ~15x with planted het SNPs and runs
 call_interval under cProfile to find the host-loop offenders
 (round-3 agenda item 5).
 """
@@ -28,12 +28,15 @@ rng = np.random.default_rng(7)
 G = 2_000_000
 ref = rng.integers(0, 4, G).astype(np.uint8)
 alt = ref.copy()
-snps = np.sort(rng.choice(np.arange(1000, G - 1000), 2000, replace=False))
+# planted het SNPs on a strided grid (≥900 bp apart) so adjacent sites
+# can't merge into MNP/complex calls whose pos matches neither truth site
+snps = np.arange(1000, G - 1000, 900)
+snps = np.sort(rng.choice(snps, 2000, replace=False))
 for p in snps:
     alt[p] = (alt[p] + 1) % 4
 
 read_len = 150
-step = 10  # 2*150/10 = 30x
+step = 10  # one 150bp read per 10bp start = 15x (half ref-hap, half alt-hap)
 records = []
 i = 0
 for start in range(0, G - read_len, step):

@@ -237,64 +237,90 @@ def _estimate_library_size(pairs_examined: int, unique_pairs: int
     return int(round((lo + hi) / 2.0))
 
 
-def mark_duplicates_columns(cols, optical_pixel_dist: int = 100,
-                            return_metrics: bool = False):
-    """Vectorized MARKDUP on RecordColumns: sets FLAG_DUP in the flag
-    column in place; returns (cols, n newly marked) — or, with
-    ``return_metrics``, (cols, n newly marked, DupMetrics).
+def dup_scan_columns(cols, rg_to_lib: dict[str, str] | None = None
+                     ) -> dict[str, np.ndarray]:
+    """Compact per-record duplicate-scan arrays for one record chunk.
 
-    Same criteria as :func:`mark_duplicates` (Picard keys: library-less
-    (tid, unclipped 5', strand) per mapped primary, pairs keyed by both
-    ends; best base-quality sum kept, ties by lexicographic qname).
-
-    Optical duplicates (Picard MarkDuplicates semantics): within each
-    duplicate set, a duplicate whose read name parses to the same
-    flowcell/lane prefix and tile as another member, with |Δx| and |Δy|
-    both ≤ ``optical_pixel_dist``, is counted optical.  Optical dups are
-    still FLAG_DUP-marked like any duplicate; the count feeds the
-    duplication metrics and the library-size estimate.
+    The streamed markdup's phase-1 product: everything the duplicate
+    decision needs, ~33 bytes/record instead of whole columns (the
+    bucket tree never has to be resident at once).  Keys match
+    :func:`mark_duplicates_columns` exactly.
     """
     from .io.columns import F_FLAG, F_LNAME
 
     f = cols.fixed
     n = len(cols)
-    if n == 0:
-        return cols, 0
-    # ---- name groups (hash + length + end bytes kill collisions) -------
-    h = cols.name_hashes()
+    h = cols.name_hashes().astype(np.int64)
     lname = f[:, F_LNAME].astype(np.int64)
     no = cols.name_off.astype(np.int64)
-    fb = cols.names[np.where(lname > 0, no, 0)]
-    lb = cols.names[np.where(lname > 0, no + lname - 1, 0)]
-    nk = np.stack([h.astype(np.int64), lname, fb.astype(np.int64),
-                   lb.astype(np.int64)], axis=1)
-    _, gid = np.unique(nk, axis=0, return_inverse=True)
-    gid = gid.reshape(-1)
-    ngroups = int(gid.max()) + 1
+    fb = cols.names[np.where(lname > 0, no, 0)].astype(np.int64)
+    lb = cols.names[np.where(lname > 0, no + lname - 1, 0)].astype(np.int64)
+    nk2 = (lname << np.int64(16)) | (fb << np.int64(8)) | lb
 
     primary = (f[:, F_FLAG] & (FLAG_SECONDARY | FLAG_SUPPLEMENTARY)) == 0
     mapped = primary & ((f[:, F_FLAG] & 0x4) == 0)
     mp = np.flatnonzero(mapped)
+    ekey = np.zeros(n, np.int64)
+    if len(mp):
+        ucoord, rev = _unclipped_coords_columns(cols, mp)
+        tid = f[mp, 0].astype(np.int64)
+        ek = (((tid + 1) << np.int64(35))
+              + ((ucoord + (np.int64(1) << 31)) << np.int64(1))
+              + rev.astype(np.int64))
+        if rg_to_lib and len(set(rg_to_lib.values())) > 1:
+            # library covariate in the top key bits (tid is bounded by
+            # the header so (tid+1)<<35 stays below bit 56 for any real
+            # genome); Picard/sambamba group duplicates per library
+            from .io.columns import tag_string_values
+            libs = sorted(set(rg_to_lib.values()))
+            lib_index = {lib: i for i, lib in enumerate(libs)}
+            vals = tag_string_values(cols, b"RG", idx=mp)
+            lib_of = np.asarray(
+                [lib_index.get(rg_to_lib.get(v or "", ""), 0)
+                 for v in vals], np.int64)
+            ek = ek + (lib_of << np.int64(56))
+        ekey[mp] = ek
+    return {"h": h, "nk2": nk2, "ekey": ekey, "mapped": mapped,
+            "qsum": _qual_sums_columns(cols)}
+
+
+def _dup_core(h: np.ndarray, nk2: np.ndarray, ekey: np.ndarray,
+              mapped: np.ndarray, qsum: np.ndarray, names_for,
+              optical_pixel_dist: int = 100,
+              return_metrics: bool = False
+              ) -> tuple[np.ndarray, DupMetrics]:
+    """The duplicate decision on compact arrays → (per-record dup mask,
+    metrics).
+
+    ``names_for(idx_array) -> {index: qname bytes}`` is called once with
+    every record index whose name the decision needs (score-tie keeper
+    choice + optical keys) — the streamed caller loads only the buckets
+    those indices live in.
+    """
+    n = len(h)
+    metrics = DupMetrics()
+    if n == 0:
+        return np.zeros(0, bool), metrics
+    nk = np.stack([h, nk2], axis=1)
+    _, gid = np.unique(nk, axis=0, return_inverse=True)
+    gid = gid.reshape(-1)
+    ngroups = int(gid.max()) + 1
+    mp = np.flatnonzero(mapped)
     if len(mp) == 0:
-        return (cols, 0, DupMetrics()) if return_metrics else (cols, 0)
-    ucoord, rev = _unclipped_coords_columns(cols, mp)
-    tid = f[mp, 0].astype(np.int64)
-    ekey = (((tid + 1) << np.int64(35))
-            + ((ucoord + (np.int64(1) << 31)) << np.int64(1))
-            + rev.astype(np.int64))
+        return np.zeros(n, bool), metrics
+    ek = ekey[mp]
 
     # per-name-group: count of mapped primaries, min/max end keys, score
     cnt = np.zeros(ngroups, np.int64)
     np.add.at(cnt, gid[mp], 1)
     kmin = np.full(ngroups, np.iinfo(np.int64).max, np.int64)
     kmax = np.full(ngroups, np.iinfo(np.int64).min, np.int64)
-    np.minimum.at(kmin, gid[mp], ekey)
-    np.maximum.at(kmax, gid[mp], ekey)
+    np.minimum.at(kmin, gid[mp], ek)
+    np.maximum.at(kmax, gid[mp], ek)
     ksum = np.zeros(ngroups, np.int64)
-    np.add.at(ksum, gid[mp], ekey)
-    qsums = _qual_sums_columns(cols)
+    np.add.at(ksum, gid[mp], ek)
     score = np.zeros(ngroups, np.int64)
-    np.add.at(score, gid[mp], qsums[mp])
+    np.add.at(score, gid[mp], qsum[mp])
 
     live = np.flatnonzero(cnt > 0)
     is_pair = (cnt[live] > 1).astype(np.int64)
@@ -313,23 +339,29 @@ def mark_duplicates_columns(cols, optical_pixel_dist: int = 100,
     dup_gids: list[int] = []
     # first of each dup-key run is the keeper, unless a score tie needs
     # the lexicographic-qname rule (rare: resolved with real name bytes)
-    names_blob = cols.names.tobytes()
     first_rec_of_gid = np.full(ngroups, n, np.int64)
     np.minimum.at(first_rec_of_gid, gid, np.arange(n))
-
-    def name_of_gid(g: int) -> bytes:
-        i = int(first_rec_of_gid[g])
-        o = int(no[i])
-        return names_blob[o:o + int(lname[i])]
 
     run_start = np.flatnonzero(new_grp)
     run_end = np.append(run_start[1:], len(order))
     g_live = live[order]
     s_live = score[live][order]
     cnt_live = cnt[live][order]
-    metrics = DupMetrics(
-        pairs_examined=int((cnt[live] > 1).sum()),
-        unpaired_examined=int((cnt[live] == 1).sum()))
+    metrics.pairs_examined = int((cnt[live] > 1).sum())
+    metrics.unpaired_examined = int((cnt[live] == 1).sum())
+
+    # batch name fetch: one request covering every multi-member run
+    needed: list[int] = []
+    for a, b in zip(run_start, run_end):
+        if b - a >= 2:
+            needed.extend(int(first_rec_of_gid[g_live[j]])
+                          for j in range(a, b))
+    names = names_for(np.asarray(sorted(set(needed)), np.int64)) \
+        if needed else {}
+
+    def name_of_gid(g: int) -> bytes:
+        return names[int(first_rec_of_gid[g])]
+
     for a, b in zip(run_start, run_end):
         if b - a < 2:
             continue
@@ -343,10 +375,20 @@ def mark_duplicates_columns(cols, optical_pixel_dist: int = 100,
                         if g_live[j] != keeper)
         if return_metrics:
             # ---- optical-duplicate detection within the duplicate set --
+            # grid-hashed neighbor probe: cells of side pixel_dist, so a
+            # member only compares against its own + 8 adjacent cells —
+            # expected O(k) per set (the naive all-pairs scan was O(k²),
+            # millions of compares on a pathological PCR stack)
+            D = max(1, optical_pixel_dist)
             keys = [(int(g_live[j]),
                      _optical_key(name_of_gid(int(g_live[j]))))
                     for j in range(a, b)]
-            for gd, kd in keys:
+            grid: dict[tuple, list[int]] = {}
+            for j, (_, kd) in enumerate(keys):
+                if kd is not None:
+                    cell = (kd[0], kd[1], kd[2] // D, kd[3] // D)
+                    grid.setdefault(cell, []).append(j)
+            for j, (gd, kd) in enumerate(keys):
                 if gd == keeper:
                     continue
                 if cnt_live[a] > 1:
@@ -355,14 +397,26 @@ def mark_duplicates_columns(cols, optical_pixel_dist: int = 100,
                     metrics.unpaired_duplicates += 1
                 if kd is None:
                     continue
-                for go, ko in keys:
-                    if go == gd or ko is None:
-                        continue
-                    if (ko[0] == kd[0] and ko[1] == kd[1]
-                            and abs(ko[2] - kd[2]) <= optical_pixel_dist
-                            and abs(ko[3] - kd[3]) <= optical_pixel_dist):
-                        metrics.optical_duplicates += 1
+                found = False
+                for dx in (-1, 0, 1):
+                    for dy in (-1, 0, 1):
+                        cell = (kd[0], kd[1],
+                                kd[2] // D + dx, kd[3] // D + dy)
+                        for o in grid.get(cell, ()):
+                            ko = keys[o][1]
+                            if (o != j
+                                    and abs(ko[2] - kd[2])
+                                    <= optical_pixel_dist
+                                    and abs(ko[3] - kd[3])
+                                    <= optical_pixel_dist):
+                                found = True
+                                break
+                        if found:
+                            break
+                    if found:
                         break
+                if found:
+                    metrics.optical_duplicates += 1
 
     if return_metrics:
         # Picard: estimateLibrarySize(PAIRS_EXAMINED − OPTICAL_DUPS,
@@ -371,10 +425,57 @@ def mark_duplicates_columns(cols, optical_pixel_dist: int = 100,
             metrics.pairs_examined - metrics.optical_duplicates,
             metrics.pairs_examined - metrics.pair_duplicates)
     if not dup_gids:
-        return (cols, 0, metrics) if return_metrics else (cols, 0)
+        return np.zeros(n, bool), metrics
     dup_mask_g = np.zeros(ngroups, bool)
     dup_mask_g[np.asarray(dup_gids, np.int64)] = True
-    hit = dup_mask_g[gid]
+    return dup_mask_g[gid], metrics
+
+
+def mark_duplicates_columns(cols, optical_pixel_dist: int = 100,
+                            return_metrics: bool = False,
+                            rg_to_lib: dict[str, str] | None = None):
+    """Vectorized MARKDUP on RecordColumns: sets FLAG_DUP in the flag
+    column in place; returns (cols, n newly marked) — or, with
+    ``return_metrics``, (cols, n newly marked, DupMetrics).
+
+    Same criteria as :func:`mark_duplicates` (Picard keys: (library,
+    tid, unclipped 5', strand) per mapped primary, pairs keyed by both
+    ends; best base-quality sum kept, ties by lexicographic qname).
+    ``rg_to_lib`` maps RG id → LB; Picard/sambamba group duplicates per
+    library, so identical coordinates from different libraries are NOT
+    duplicates of each other.  With no map (or one library) the key
+    degenerates to the library-less form and the per-record RG walk is
+    skipped entirely.
+
+    Optical duplicates (Picard MarkDuplicates semantics): within each
+    duplicate set, a duplicate whose read name parses to the same
+    flowcell/lane prefix and tile as another member, with |Δx| and |Δy|
+    both ≤ ``optical_pixel_dist``, is counted optical.  Optical dups are
+    still FLAG_DUP-marked like any duplicate; the count feeds the
+    duplication metrics and the library-size estimate.
+
+    Implementation: the compact scan (:func:`dup_scan_columns`) + the
+    shared decision core (``_dup_core``) — the same pair the streamed
+    bucket-tree markdup uses, so both paths decide identically.
+    """
+    from .io.columns import F_FLAG, F_LNAME
+
+    f = cols.fixed
+    n = len(cols)
+    if n == 0:
+        return (cols, 0, DupMetrics()) if return_metrics else (cols, 0)
+    scan = dup_scan_columns(cols, rg_to_lib)
+    names_blob = cols.names.tobytes()
+    no = cols.name_off.astype(np.int64)
+    lname = f[:, F_LNAME].astype(np.int64)
+
+    def names_for(idx: np.ndarray) -> dict[int, bytes]:
+        return {int(i): names_blob[int(no[i]):int(no[i]) + int(lname[i])]
+                for i in idx}
+
+    hit, metrics = _dup_core(
+        scan["h"], scan["nk2"], scan["ekey"], scan["mapped"],
+        scan["qsum"], names_for, optical_pixel_dist, return_metrics)
     newly = hit & ((f[:, F_FLAG] & FLAG_DUP) == 0)
     f[:, F_FLAG] = np.where(hit, f[:, F_FLAG] | FLAG_DUP, f[:, F_FLAG])
     ndup = int(newly.sum())

@@ -320,7 +320,8 @@ def _rg_array(cols, idx: np.ndarray,
 
 def extract_covariates_columns(cols,
                                ref_codes_by_tid: dict[int, np.ndarray],
-                               known_sites: set[tuple[int, int]] | None = None,
+                               known_sites: set[tuple[int, int]]
+                               | dict[int, np.ndarray] | None = None,
                                rg_index: dict[str, int] | None = None
                                ) -> dict[str, np.ndarray]:
     """Vectorized twin of :func:`extract_covariates` on RecordColumns.
@@ -386,10 +387,21 @@ def extract_covariates_columns(cols,
 
     known_mask = np.zeros(len(rec), bool)
     if known_sites:
-        kg = np.sort(np.asarray(
-            [tid_off[t] + p for t, p in known_sites
-             if 0 <= t <= max_tid and tid_ok[t] and p < tid_len[t]],
-            np.int64))
+        if isinstance(known_sites, dict):
+            # streamed form: {tid: sorted per-base positions} numpy
+            # arrays (KnownSites.for_shard) — no Python tuple set
+            parts = []
+            for t, ps in known_sites.items():
+                if 0 <= t <= max_tid and tid_ok[t]:
+                    ps = np.asarray(ps, np.int64)
+                    parts.append(tid_off[t] + ps[ps < tid_len[t]])
+            kg = (np.sort(np.concatenate(parts)) if parts
+                  else np.zeros(0, np.int64))
+        else:
+            kg = np.sort(np.asarray(
+                [tid_off[t] + p for t, p in known_sites
+                 if 0 <= t <= max_tid and tid_ok[t] and p < tid_len[t]],
+                np.int64))
         if len(kg):
             j = np.searchsorted(kg, gpos)
             known_mask = (j < len(kg)) & (kg[np.minimum(j, len(kg) - 1)]
@@ -407,7 +419,8 @@ def extract_covariates_columns(cols,
 
 
 def apply_bqsr_columns(cols, model: "RecalModel",
-                       rg_index: dict[str, int] | None = None):
+                       rg_index: dict[str, int] | None = None,
+                       preserve_below: int | None = None):
     """Vectorized ApplyBQSR on RecordColumns: one recalibrate() over every
     base of every record, written back into a fresh qual blob."""
     from .io.columns import (
@@ -440,7 +453,7 @@ def apply_bqsr_columns(cols, model: "RecalModel",
                    prev.astype(np.int32) * 4 + cur, 0)
     rg_sel = _rg_array(cols, sel, rg_index)
     newq = model.recalibrate(rg_sel[rec], np.clip(q, 0, MAX_QUAL - 1),
-                             cyc, ctx)
+                             cyc, ctx, preserve_below=preserve_below)
     qual = cols.qual.copy()
     qual[flat] = (newq + (33 if cols.qual_mode == "ascii" else 0)
                   ).astype(np.uint8)
@@ -489,9 +502,14 @@ def accumulate_table(cov: dict[str, np.ndarray],
     if n == 0:
         return RecalTable.zeros(read_groups or ["default"])
     mesh = get_active_mesh()
+    # pad to a power-of-two length (weight 0 beyond n): per-shard
+    # covariate counts all land on a handful of compiled shapes instead
+    # of one remote-TPU compile per distinct n (20-40s each over the
+    # tunnel — 32 shards would serialize minutes of compiles)
     if mesh is not None and mesh.size > 1:
         from .parallel.sharded import sharded_bqsr_histogram
-        npad = ((n + mesh.size - 1) // mesh.size) * mesh.size
+        npad = max(1024, 1 << (n - 1).bit_length())
+        npad = ((npad + mesh.size - 1) // mesh.size) * mesh.size
 
         def pad(a, dtype):
             out = np.zeros(npad, dtype)
@@ -514,11 +532,20 @@ def accumulate_table(cov: dict[str, np.ndarray],
                           cyc_obs, cyc_err,
                           np.asarray(ctx_obs, np.float64),
                           np.asarray(ctx_err, np.float64))
+    npad = max(1024, 1 << (n - 1).bit_length())
+
+    def pad1(a, dtype):
+        out = np.zeros(npad, dtype)
+        out[:n] = a
+        return jnp.asarray(out)
+
+    weight = np.zeros(npad, np.float32)
+    weight[:n] = 1.0
     out = _histogram_device(
-        jnp.asarray(cov["rg"]), jnp.asarray(cov["qual"]),
-        jnp.asarray(cov["cycle"]), jnp.asarray(cov["context"]),
-        jnp.asarray(cov["is_error"]),
-        jnp.ones(n, jnp.float32), nrg=nrg)
+        pad1(cov["rg"], np.int32), pad1(cov["qual"], np.int32),
+        pad1(cov["cycle"], np.int32), pad1(cov["context"], np.int32),
+        pad1(cov["is_error"], np.float32),
+        jnp.asarray(weight), nrg=nrg)
     return RecalTable(read_groups or ["default"],
                       *(np.asarray(a, np.float64) for a in out))
 
@@ -588,15 +615,21 @@ class RecalModel:
         return cls(table, global_delta, qual_delta, cycle_delta, ctx_delta)
 
     def recalibrate(self, rg: np.ndarray, qual: np.ndarray,
-                    cycle: np.ndarray, context: np.ndarray) -> np.ndarray:
-        """Vectorized remap: arrays of covariates → new quals (int)."""
+                    cycle: np.ndarray, context: np.ndarray,
+                    preserve_below: int | None = None) -> np.ndarray:
+        """Vectorized remap: arrays of covariates → new quals (int).
+
+        ``preserve_below`` is GATK's ``--preserve_qscores_less_than``
+        (default = MIN_USABLE_QUAL, the GATK default of 6)."""
+        if preserve_below is None:
+            preserve_below = MIN_USABLE_QUAL
         q = (qual.astype(np.float64)
              + self.global_delta[rg]
              + self.qual_delta[rg, qual]
              + self.cycle_delta[rg, qual, cycle]
              + self.ctx_delta[rg, qual, context])
         out = np.clip(np.rint(q), 2, MAX_QUAL - 1).astype(np.int32)
-        return np.where(qual < MIN_USABLE_QUAL, qual, out)
+        return np.where(qual < preserve_below, qual, out)
 
 
 def apply_bqsr(records: list[SamRecord], model: RecalModel,

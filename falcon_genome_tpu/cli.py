@@ -207,18 +207,23 @@ def dispatch(args: argparse.Namespace, conf) -> None:
                          platform=args.platform, library=args.library,
                          num_buckets=args.num_buckets,
                          merge=not args.disable_merge,
-                         long_reads=args.long_reads, force=args.force)
+                         long_reads=args.long_reads, force=args.force,
+                         extra_opts=args.extra_options)
     elif cmd == "markdup":
-        stages.run_markdup(conf, args.input, args.output, force=args.force)
+        stages.run_markdup(conf, args.input, args.output, force=args.force,
+                           extra_opts=args.extra_options)
     elif cmd == "baserecal":
         stages.run_baserecal(conf, args.ref, args.input, args.output,
-                             known_sites=args.knownSites, force=args.force)
+                             known_sites=args.knownSites, force=args.force,
+                             extra_opts=args.extra_options)
     elif cmd == "printreads":
         stages.run_printreads(conf, args.ref, args.input, args.bqsr,
-                              args.output, force=args.force)
+                              args.output, force=args.force,
+                              extra_opts=args.extra_options)
     elif cmd == "bqsr":
         stages.run_bqsr(conf, args.ref, args.input, args.output,
-                        known_sites=args.knownSites, force=args.force)
+                        known_sites=args.knownSites, force=args.force,
+                        extra_opts=args.extra_options)
     elif cmd == "htc":
         stages.run_htc(conf, args.ref, args.input, args.output,
                        produce_vcf=args.produce_vcf,
@@ -243,7 +248,7 @@ def dispatch(args: argparse.Namespace, conf) -> None:
                   force=args.force)
     elif cmd == "joint":
         stages.run_joint(conf, args.ref, args.input_dir, args.output,
-                         force=args.force)
+                         force=args.force, extra_opts=args.extra_options)
     elif cmd == "ug":
         stages.run_ug(conf, args.ref, args.input, args.output,
                       intervals=args.intervals, sample=args.sample_id,
@@ -260,19 +265,21 @@ def dispatch(args: argparse.Namespace, conf) -> None:
                          omit_base_output=omit_base,
                          omit_intervals=args.omit_intervals,
                          omit_sample_summary=args.omit_summary,
-                         force=args.force)
+                         force=args.force, extra_opts=args.extra_options)
     elif cmd == "vcf_filter":
         stages.run_vcf_filter(conf, args.ref, args.input, args.output,
                               filter_expr=args.filter_expression,
                               filter_name=args.filter_name,
-                              force=args.force)
+                              force=args.force,
+                              extra_opts=args.extra_options)
     elif cmd == "germline":
         stages.run_germline(conf, args.ref, args.output,
                             fastq1=args.fastq1, fastq2=args.fastq2,
                             sample_sheet=args.sample_sheet,
                             sample_id=args.sample_id, read_group=args.rg,
                             produce_vcf=args.produce_vcf,
-                            long_reads=args.long_reads, force=args.force)
+                            long_reads=args.long_reads, force=args.force,
+                            extra_opts=args.extra_options)
     elif cmd == "concat":
         stages.run_concat(conf, args.input_dir, args.output,
                           force=args.force)

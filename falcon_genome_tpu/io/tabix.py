@@ -331,6 +331,33 @@ def read_bgzf_at(path: str | Path, voff_start: int, voff_end: int) -> bytes:
     return bytes(out)
 
 
+def query_vcf_positions(vcf_gz: str | Path, contig: str, start: int,
+                        end: int):
+    """(pos0, ref_len) int64 arrays of VCF rows overlapping a 1-based
+    inclusive region — a light 4-field line scan for site masks (no
+    VcfRecord materialization; dbSNP-scale shards stay cheap)."""
+    import numpy as np
+
+    idx = TabixIndex.read(str(vcf_gz) + ".tbi")
+    chunks = idx.query_chunks(contig, start - 1, end)
+    poss: list[int] = []
+    lens: list[int] = []
+    for u, v in chunks:
+        text = read_bgzf_at(vcf_gz, u, v).decode(errors="replace")
+        for line in text.splitlines():
+            if not line or line.startswith("#"):
+                continue
+            f = line.split("\t", 4)
+            if f[0] != contig or len(f) < 4:
+                continue
+            p = int(f[1])
+            rl = len(f[3])
+            if p <= end and p + rl - 1 >= start:
+                poss.append(p - 1)
+                lens.append(rl)
+    return (np.asarray(poss, np.int64), np.asarray(lens, np.int64))
+
+
 def query_vcf_region(vcf_gz: str | Path, contig: str, start: int, end: int):
     """Fetch VcfRecords overlapping a 1-based inclusive region using .tbi."""
     from .vcf import record_from_line

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import dataclasses
 import gzip
+import re
 from pathlib import Path
 
 from ..utils.errors import InvalidParam
@@ -220,6 +221,65 @@ def _open_in(path: str | Path):
     if p.endswith(".gz"):
         return gzip.open(p, "rt")  # gzip handles multi-member BGZF
     return open(p)
+
+
+def ensure_indexed_vcf(path: str | Path, work_dir: str | Path) -> str:
+    """Path to a bgzf-compressed, tabix-indexed twin of ``path``.
+
+    Returns ``path`` itself when it is already ``.gz`` with a ``.tbi``.
+    Otherwise re-compresses it streaming — two line-scans, one record in
+    memory at a time — into ``work_dir`` and builds the ``.tbi`` (the
+    reference's bgzip+tabix preconditioning, VCFUtilsWorker.cpp:54-99);
+    callers can then region-stream any input instead of caching whole
+    files in RAM."""
+    from .tabix import IndexBuilder
+    p = str(path)
+    if p.endswith(".gz") and Path(p + ".tbi").exists():
+        return p
+    Path(work_dir).mkdir(parents=True, exist_ok=True)
+    name = Path(p).name
+    dst = str(Path(work_dir) / (name if name.endswith(".gz")
+                                else name + ".gz"))
+    # pass 1: contig order (header ##contig lines, else first appearance)
+    contigs: list[str] = []
+    seen: set[str] = set()
+    with _open_in(p) as f:
+        for line in f:
+            if line.startswith("##contig="):
+                m = re.search(r"ID=([^,>]+)", line)
+                if m and m.group(1) not in seen:
+                    seen.add(m.group(1))
+                    contigs.append(m.group(1))
+            elif not line.startswith("#") and line.strip():
+                c = line.split("\t", 1)[0]
+                if c not in seen:
+                    seen.add(c)
+                    contigs.append(c)
+    contig_id = {c: i for i, c in enumerate(contigs)}
+    builder = IndexBuilder(max(len(contigs), 1))
+    # pass 2: stream lines through bgzf, indexing on the fly
+    w = BgzfWriter(dst)
+    with _open_in(p) as f:
+        for line in f:
+            if line.startswith("#"):
+                w.write(line.encode())
+                continue
+            if not line.strip():
+                continue
+            v0 = w.virtual_offset
+            w.write(line.encode())
+            v1 = w.virtual_offset
+            fields = line.split("\t", 8)
+            pos = int(fields[1])
+            end = pos + len(fields[3]) - 1
+            if len(fields) > 7 and "END=" in fields[7]:
+                m = re.search(r"(?:^|;)END=(\d+)", fields[7])
+                if m:
+                    end = int(m.group(1))
+            builder.add(contig_id.get(fields[0], -1), pos - 1, end, v0, v1)
+    w.close()
+    builder.write_tbi(dst + ".tbi", contigs)
+    return dst
 
 
 def read_vcf(path: str | Path) -> tuple[VcfHeader, list[VcfRecord]]:

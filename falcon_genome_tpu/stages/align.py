@@ -229,14 +229,42 @@ def _finalize_sample(sink: AlignSink, header, out_path: str,
         sink.cleanup()
 
 
+def _parse_rg_line(line: str) -> dict[str, str]:
+    """bwa-style ``-R '@RG\\tID:x\\tSM:y…'`` → tag dict (accepts literal
+    backslash-t or real tabs)."""
+    out: dict[str, str] = {}
+    for fld in line.replace("\\t", "\t").split("\t"):
+        if ":" in fld and not fld.startswith("@"):
+            k, v = fld.split(":", 1)
+            out[k] = v
+    return out
+
+
 def run_align(conf: Config, ref: str, output: str,
               fastq1: str | None = None, fastq2: str | None = None,
               sample_sheet: str | None = None,
               sample_id: str = "sample", read_group: str = "rg0",
               platform: str = "illumina", library: str = "lib0",
               num_buckets: int | None = None, merge: bool = True,
-              long_reads: bool = False, force: bool = False) -> list[str]:
+              long_reads: bool = False, force: bool = False,
+              extra_opts: list[str] | None = None) -> list[str]:
     """Returns the list of written BAM paths (one per sample)."""
+    from ..utils.extraopts import ExtraOpts
+    xo = ExtraOpts(extra_opts)
+    # bwa-flow surface (BWAWorker.cpp:134-147): --chunk_size batches the
+    # offload, --num_buckets overrides the bucket-spill width, -R sets
+    # the @RG header line
+    chunk_override = xo.get_int("--chunk_size", "--chunk-size")
+    num_buckets = num_buckets or xo.get_int("--num_buckets",
+                                            "--num-buckets", default=0)
+    rg_tags = _parse_rg_line(xo.get("-R", default="") or "")
+    if rg_tags:
+        read_group = rg_tags.get("ID", read_group)
+        library = rg_tags.get("LB", library)
+        platform = rg_tags.get("PL", platform)
+        if not sample_sheet:
+            sample_id = rg_tags.get("SM", sample_id)
+    xo.warn_unused("align")
     fa = load_fasta(ref)
     if long_reads:
         # minimap-flow analog (Minimap2Worker.cpp:51-106): longer k/w
@@ -248,11 +276,11 @@ def run_align(conf: Config, ref: str, output: str,
             k=conf.get("minimap.k"), w=conf.get("minimap.w"),
             max_hits=256))
         engine = LongReadAligner(load_long_index(ref, lp.index), lp)
-        batch_size = conf.get("tpu.batch.long_reads")
+        batch_size = chunk_override or conf.get("tpu.batch.long_reads")
     else:
         index = load_index(ref)
         engine = AlignerEngine(index, AlignerParams())
-        batch_size = conf.get("tpu.batch.reads")
+        batch_size = chunk_override or conf.get("tpu.batch.reads")
 
     if sample_sheet:
         sheet = load_sample_sheet(sample_sheet)

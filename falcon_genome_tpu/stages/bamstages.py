@@ -20,7 +20,8 @@ from ..bamops import mark_duplicates_columns
 from ..config import Config
 from ..io.bam import (
     BamReader, read_bam_columns, read_bam_region_columns, write_bam_columns)
-from ..io.columns import F_ENDPOS, F_FLAG, F_POS, F_TID, RecordColumns
+from ..io.columns import (
+    F_ENDPOS, F_FLAG, F_LNAME, F_POS, F_TID, RecordColumns)
 from ..io.sam import FLAG_UNMAPPED
 from ..utils.common import (
     check_input, check_output, get_input_list, rss_suffix)
@@ -182,11 +183,154 @@ class BamInputSource:
         return self.columns.to_records()
 
 
+def _stream_markdup(parts: list[str], output: str,
+                    rg_to_lib: dict[str, str], remove_dups: bool,
+                    optical_pixel_dist: int = 100):
+    """Bounded-memory MARKDUP over a ``part-%06d`` bucket tree.
+
+    Never holds the whole input as columns (the reference's streaming
+    sambamba markdup with its bounded fd budget,
+    SambambaWorker.cpp:59-72).  Three passes over the buckets, one
+    bucket resident at a time:
+
+    1. scan: each bucket decodes once into ~33-byte/record compact
+       duplicate-scan arrays (``dup_scan_columns``) and is freed;
+    2. decide: the shared decision core runs on the concatenated compact
+       arrays; the record names it needs (score ties, optical keys) are
+       fetched lazily per bucket;
+    3. rewrite: buckets stream — in genome order — through the
+       BamColumnsWriter with FLAG_DUP applied from the global mask.
+
+    Returns (ndup, metrics, header) or None when the bucket ranges
+    overlap (a foreign, non-position-bucketed tree → caller falls back
+    to the in-memory path).
+    """
+    import numpy as np
+
+    from ..bamops import _dup_core, dup_scan_columns
+    from ..io import native_ext
+    from ..io.bam import BamColumnsWriter
+    from ..io.sam import FLAG_DUP
+
+    if not native_ext.available():
+        return None
+    header = None
+    scans = []
+    bounds: list[tuple[int, int] | None] = []
+    offsets = [0]
+    for part in parts:
+        h, cols = read_bam_columns(part)
+        header = header or h
+        scans.append(dup_scan_columns(cols, rg_to_lib))
+        f = cols.fixed
+        m = (f[:, F_FLAG] & FLAG_UNMAPPED) == 0
+        if m.any():
+            key = ((f[m, F_TID].astype(np.int64) << 32)
+                   | f[m, F_POS].astype(np.int64))
+            bounds.append((int(key.min()), int(key.max())))
+        else:
+            bounds.append(None)
+        offsets.append(offsets[-1] + len(cols))
+        del cols
+    # genome order = buckets by min mapped key, all-unmapped trees last;
+    # ranges must be disjoint for the concatenation to stay sorted
+    order = sorted(range(len(parts)),
+                   key=lambda i: (bounds[i] is None,
+                                  bounds[i][0] if bounds[i] else 0))
+    prev_max = None
+    for i in order:
+        if bounds[i] is None:
+            continue
+        if prev_max is not None and bounds[i][0] <= prev_max:
+            log.warning("markdup: bucket ranges overlap — falling back "
+                        "to the in-memory path")
+            return None
+        prev_max = bounds[i][1]
+    cat = {k: np.concatenate([s[k] for s in scans]) for k in scans[0]}
+    del scans
+    offs = np.asarray(offsets, np.int64)
+
+    def names_for(idx: np.ndarray) -> dict[int, bytes]:
+        out: dict[int, bytes] = {}
+        bis = np.searchsorted(offs, idx, "right") - 1
+        for bi in np.unique(bis):
+            _, cols = read_bam_columns(parts[int(bi)])
+            blob = cols.names.tobytes()
+            no = cols.name_off
+            ln = cols.fixed[:, F_LNAME]
+            for i in idx[bis == bi]:
+                j = int(i - offs[bi])
+                out[int(i)] = blob[int(no[j]):int(no[j]) + int(ln[j])]
+        return out
+
+    hit, metrics = _dup_core(
+        cat["h"], cat["nk2"], cat["ekey"], cat["mapped"], cat["qsum"],
+        names_for, optical_pixel_dist, return_metrics=True)
+    del cat
+
+    writer = BamColumnsWriter(output, header)
+    ndup = 0
+    try:
+        for bi in order:
+            _, cols = read_bam_columns(parts[bi])
+            m = hit[offsets[bi]:offsets[bi + 1]]
+            f = cols.fixed
+            newly = m & ((f[:, F_FLAG] & FLAG_DUP) == 0)
+            ndup += int(newly.sum())
+            f[:, F_FLAG] = np.where(m, f[:, F_FLAG] | FLAG_DUP,
+                                    f[:, F_FLAG])
+            if remove_dups:
+                cols = cols.take(np.flatnonzero(
+                    (f[:, F_FLAG] & FLAG_DUP) == 0))
+            writer.write_columns(cols, order=cols.coordinate_order())
+    finally:
+        writer.close()
+    return ndup, metrics, header
+
+
 def run_markdup(conf: Config, input_path: str, output: str,
-                force: bool = False) -> str:
+                force: bool = False,
+                extra_opts: list[str] | None = None) -> str:
+    from ..utils.extraopts import ExtraOpts
+    xo = ExtraOpts(extra_opts)
+    # sambamba markdup surface (SambambaWorker.cpp:74-91): -r removes
+    # duplicate records instead of flagging them
+    remove_dups = xo.has("-r", "--remove-duplicates")
+    xo.warn_unused("markdup")
     output = check_output(output, force)
+
+    p = Path(input_path)
+    if p.is_dir():
+        parts = get_input_list(p, r"part-\d+.*\.bam")
+        total = sum(Path(x).stat().st_size for x in parts)
+        if parts and total > (conf.get("tpu.bam.stream_mb") << 20):
+            from ..io.bam import BamReader
+            with BamReader(parts[0]) as r:
+                rg_to_lib = {rg.get("ID", ""): rg.get("LB", "")
+                             for rg in r.header.read_groups}
+            res = _stream_markdup(parts, output, rg_to_lib, remove_dups)
+            if res is not None:
+                ndup, metrics, _ = res
+                log.info(
+                    "markdup (streamed, %d buckets): %d duplicates "
+                    "(%d optical), %d pairs / %d unpaired examined, "
+                    "est. library size %s → %s%s",
+                    len(parts), ndup, metrics.optical_duplicates,
+                    metrics.pairs_examined, metrics.unpaired_examined,
+                    metrics.estimated_library_size, output, rss_suffix())
+                return output
+
     header, cols = load_bam_input_columns(input_path)
-    cols, ndup, metrics = mark_duplicates_columns(cols, return_metrics=True)
+    cols, ndup, metrics = mark_duplicates_columns(
+        cols, return_metrics=True,
+        rg_to_lib={rg.get("ID", ""): rg.get("LB", "")
+                   for rg in header.read_groups})
+    if remove_dups:
+        import numpy as np
+        from ..io.columns import F_FLAG
+        from ..io.sam import FLAG_DUP
+        cols = cols.take(np.flatnonzero(
+            (cols.fixed[:, F_FLAG] & FLAG_DUP) == 0))
     write_bam_columns(output, header, cols, order=cols.coordinate_order())
     log.info(
         "markdup: %d records, %d duplicates (%d optical), "

@@ -21,7 +21,6 @@ from ..bqsr import (
     extract_covariates_columns, write_gatk_report)
 from ..config import Config
 from ..io.bam import write_bam_columns
-from ..io.vcf import read_vcf
 from ..pipeline.runner import PipelineRunner, stage
 from ..utils.common import (
     check_input, check_output, check_vcf_index, get_contig_fname)
@@ -31,25 +30,67 @@ from .common import interval_shards, load_fasta
 log = logging.getLogger("falcon_genome_tpu")
 
 
-def _known_sites_set(paths: list[str], header) -> set[tuple[int, int]]:
-    known: set[tuple[int, int]] = set()
-    for p in paths:
-        # index freshness check (ref BQSRWorker.cpp:50-53 +
-        # config.cpp:776-824); strict for .gz (the .tbi is needed to
-        # stream), advisory for plain .vcf (native reader needs no .idx)
-        check_vcf_index(p, strict=str(p).endswith(".gz"))
-        _, recs = read_vcf(check_input(p))
-        for r in recs:
-            tid = header.tid(r.contig)
-            for off in range(len(r.ref)):
-                known.add((tid, r.pos - 1 + off))
-    return known
+class KnownSites:
+    """Per-shard streamed known-sites masks.
+
+    The reference streams ``-knownSites`` inside GATK per contig
+    (BQSRWorker.cpp:43-53) — whole-file parsing of human dbSNP (~150M
+    sites) into Python objects is tens of GB.  Here every input is
+    bgzip+tabix'd once (streaming, ``ensure_indexed_vcf``) and each
+    shard pulls only its own region as numpy position arrays: memory is
+    O(shard), independent of the known-sites file size."""
+
+    def __init__(self, paths: list[str], header, work_dir: str):
+        self.header = header
+        self.paths: list[str] = []
+        for p in paths or []:
+            # index freshness check (ref BQSRWorker.cpp:50-53 +
+            # config.cpp:776-824); strict for .gz (the .tbi is needed
+            # to stream), advisory for plain .vcf (re-indexed below)
+            check_vcf_index(p, strict=str(p).endswith(".gz"))
+            from ..io.vcf import ensure_indexed_vcf
+            self.paths.append(ensure_indexed_vcf(check_input(p), work_dir))
+
+    def __bool__(self) -> bool:
+        return bool(self.paths)
+
+    def for_shard(self, shard) -> dict[int, "np.ndarray"]:
+        """{tid: sorted per-base 0-based positions} for the shard."""
+        import numpy as np
+
+        from ..io.tabix import query_vcf_positions
+        out: dict[int, list] = {}
+        for iv in shard:
+            tid = self.header.tid(iv.contig)
+            if tid < 0:
+                continue
+            for p in self.paths:
+                pos0, lens = query_vcf_positions(
+                    p, iv.contig, iv.start, iv.end)
+                if len(pos0) == 0:
+                    continue
+                total = int(lens.sum())
+                base = np.cumsum(lens) - lens
+                per_base = (np.repeat(pos0, lens)
+                            + np.arange(total)
+                            - np.repeat(base, lens))
+                out.setdefault(tid, []).append(per_base)
+        return {t: np.unique(np.concatenate(parts))
+                for t, parts in out.items()}
 
 
 def run_baserecal(conf: Config, ref: str, input_path: str, output: str,
                   known_sites: list[str] | None = None,
-                  force: bool = False) -> str:
+                  force: bool = False,
+                  extra_opts: list[str] | None = None) -> str:
     """Scatter + gather the recalibration table; writes <output>.npz."""
+    from ..utils.extraopts import ExtraOpts
+    xo = ExtraOpts(extra_opts)
+    # GATK BaseRecalibrator accepts repeated -knownSites through
+    # --extra-options too (Worker.h:38-58 forwards every key verbatim)
+    known_sites = list(known_sites or []) + xo.get_all(
+        "-knownSites", "--knownSites", "--known-sites")
+    xo.warn_unused("baserecal")
     output = check_output(output, force)
     fa = load_fasta(ref)
     src = BamInputSource.from_conf(conf, input_path)
@@ -59,13 +100,17 @@ def run_baserecal(conf: Config, ref: str, input_path: str, output: str,
                   if name in fa.dict.by_name}
     rgs = [rg["ID"] for rg in header.read_groups] or ["default"]
     rg_index = {rg: i for i, rg in enumerate(rgs)}
-    known = _known_sites_set(known_sites or [], header)
+    ks = KnownSites(known_sites or [], header,
+                    str(Path(output).parent / ".known_sites_idx"))
 
     shards = interval_shards(conf, fa)
     runner = PipelineRunner.from_conf("Base Recalibration", conf,
                                       force=True)
 
     def one(shard):
+        # per-shard tabix stream of the known-sites mask: O(shard)
+        # memory at dbSNP scale (BQSRWorker.cpp:43-53 semantics)
+        known = ks.for_shard(shard) if ks else None
         cov = extract_covariates_columns(
             src.columns_for(shard), ref_by_tid, known, rg_index)
         return accumulate_table(cov, rgs)
@@ -77,22 +122,35 @@ def run_baserecal(conf: Config, ref: str, input_path: str, output: str,
     total = tables[0]
     for t in tables[1:]:
         total = total + t  # gather = addition (BQSRGatherWorker)
+    import os
     if str(output).endswith(".npz"):
-        total.save(output)
+        total.save(str(output) + ".tmp.npz")
+        os.replace(str(output) + ".tmp.npz", output)
     else:
         # the reference's interchange format: a GATK recalibration report
         # (BQSRGatherWorker merges these; any GATK-era tool can read it);
-        # an .npz sidecar keeps reloads fast
-        write_gatk_report(total, output)
-        total.save(str(output) + ".npz")
+        # an .npz sidecar keeps reloads fast.  tmp+rename so a killed run
+        # never leaves a half-written table behind (resume treats an
+        # existing table as complete)
+        write_gatk_report(total, str(output) + ".tmp")
+        os.replace(str(output) + ".tmp", output)
+        total.save(str(output) + ".tmp.npz")
+        os.replace(str(output) + ".tmp.npz", str(output) + ".npz")
     log.info("baserecal: %d observations → %s",
              int(total.qual_obs.sum()), output)
     return output
 
 
 def run_printreads(conf: Config, ref: str, input_path: str, table: str,
-                   output: str, force: bool = False) -> str:
+                   output: str, force: bool = False,
+                   extra_opts: list[str] | None = None) -> str:
     """ApplyBQSR per shard → bucketed BAM shards, or one merged BAM."""
+    from ..utils.extraopts import ExtraOpts
+    xo = ExtraOpts(extra_opts)
+    preserve_below = xo.get_int(
+        "-preserveQ", "--preserve_qscores_less_than",
+        "--preserve-qscores-less-than")
+    xo.warn_unused("printreads")
     output = check_output(output, force)
     fa = load_fasta(ref)
     src = BamInputSource.from_conf(conf, input_path)
@@ -113,7 +171,8 @@ def run_printreads(conf: Config, ref: str, input_path: str, table: str,
         # by_start: a partition — boundary-spanning reads are emitted by
         # exactly one shard (output record count == input record count)
         cols = apply_bqsr_columns(src.columns_for(shard, by_start=True),
-                                  model, rg_index)
+                                  model, rg_index,
+                                  preserve_below=preserve_below)
         if out_is_dir:
             import os
             Path(output).mkdir(parents=True, exist_ok=True)
@@ -146,8 +205,18 @@ def run_printreads(conf: Config, ref: str, input_path: str, table: str,
 
 def run_bqsr(conf: Config, ref: str, input_path: str, output: str,
              known_sites: list[str] | None = None,
-             force: bool = False) -> str:
-    """baserecal + printreads chained (ref worker-bqsr.cpp:352-363)."""
+             force: bool = False,
+             extra_opts: list[str] | None = None) -> str:
+    """baserecal + printreads chained (ref worker-bqsr.cpp:352-363).
+
+    Resume: without ``-f`` an existing (atomically written) recal table
+    from a previous killed run is reused and only printreads re-runs —
+    each phase individually re-runnable (scripts/pipeline.sh:24-63)."""
     table = str(Path(output).with_suffix("")) + ".recal.npz"
-    run_baserecal(conf, ref, input_path, table, known_sites, force=True)
-    return run_printreads(conf, ref, input_path, table, output, force)
+    if not force and Path(table).exists():
+        log.info("bqsr: resume — reusing recalibration table %s", table)
+    else:
+        run_baserecal(conf, ref, input_path, table, known_sites,
+                      force=True, extra_opts=extra_opts)
+    return run_printreads(conf, ref, input_path, table, output, force,
+                          extra_opts=extra_opts)

@@ -50,18 +50,48 @@ class Gene:
     end: int
 
 
+def _parse_refseq_row(parts: list[str]) -> Gene | None:
+    """One UCSC refseq/refFlat row → Gene, or None if not that shape.
+
+    The reference forwards an operator's refseq-format gene table to
+    GATK DepthOfCoverage verbatim (DepthWorker.cpp:61-66); GATK accepts
+    the UCSC refGene table (bin, name, chrom, strand, txStart, txEnd, …,
+    name2 at col 12) and refFlat (geneName, name, chrom, strand,
+    txStart, txEnd, …).  txStart is 0-based half-open → 1-based."""
+    if len(parts) >= 11 and parts[3] in ("+", "-"):
+        # refGene: col 0 is the UCSC bin (integer), gene symbol at 12
+        try:
+            int(parts[0])
+            name = parts[12] if len(parts) > 12 and parts[12] else parts[1]
+            return Gene(name, parts[2], int(parts[4]) + 1, int(parts[5]))
+        except ValueError:
+            pass
+    if len(parts) >= 6 and parts[3] in ("+", "-"):
+        # refFlat: geneName, transcript, chrom, strand, txStart, txEnd
+        return Gene(parts[0], parts[2], int(parts[4]) + 1, int(parts[5]))
+    return None
+
+
 def read_gene_list(path: str) -> list[Gene]:
+    """Gene table: UCSC refseq/refFlat format (what the reference hands
+    GATK) or the flat ``name contig start end`` form (1-based
+    inclusive)."""
     genes = []
     for i, line in enumerate(Path(check_input(path)).read_text()
                              .splitlines(), 1):
         if not line.strip() or line.startswith("#"):
             continue
-        parts = line.split()
-        if len(parts) < 4:
-            raise ValueError(f"{path}:{i}: expected 'name contig start "
-                             f"end', got {line!r}")
-        genes.append(Gene(parts[0], parts[1], int(parts[2]),
-                          int(parts[3])))
+        parts = line.split("\t") if "\t" in line else line.split()
+        g = _parse_refseq_row(parts)
+        if g is None:
+            if len(parts) < 4:
+                raise ValueError(
+                    f"{path}:{i}: expected a refseq/refFlat row or "
+                    f"'name contig start end', got {line!r}")
+            g = Gene(parts[0], parts[1], int(parts[2]), int(parts[3]))
+        genes.append(g)
+    # multiple transcripts of one gene merge under the same name; the
+    # per-gene reduction (gene_totals) already accumulates by name
     return genes
 
 
@@ -117,12 +147,15 @@ def _sample_of_records(cols, header, default: str) -> tuple[list[str],
 
 
 def _interval_depths(src: BamInputSource, iv: Interval, header,
-                     default_sample: str
+                     default_sample: str, min_mapq: int = 0
                      ) -> tuple[list[str], np.ndarray]:
     """(samples, (n_samples, len(iv)) coverage) — diff-array pileup."""
-    from ..io.columns import F_ENDPOS, F_POS
+    from ..io.columns import F_ENDPOS, F_MAPQ, F_POS
     n = len(iv)
     cols = src.columns_for([iv])
+    if min_mapq > 0:
+        cols = cols.take(np.flatnonzero(
+            cols.fixed[:, F_MAPQ] >= min_mapq))
     samples, sidx = _sample_of_records(cols, header, default_sample)
     f = cols.fixed
     base = iv.start - 1
@@ -131,13 +164,29 @@ def _interval_depths(src: BamInputSource, iv: Interval, header,
     depth = np.zeros((len(samples), n + 1), np.int64)
     np.add.at(depth, (sidx, lo), 1)
     np.add.at(depth, (sidx, hi), -1)
+    # GATK DepthOfCoverage excludes deletion/N-gap bases by default
+    # (--includeDeletions off): subtract every D/N sub-span so an
+    # aligned-span diff-array matches the per-base pileup semantics
+    if cols.cigar_ops.size:
+        from ..io.columns import expand_cigar_ops
+        ops, lens, op_rec, _, roff = expand_cigar_ops(
+            cols, np.arange(len(cols)))
+        dn = (ops == 2) | (ops == 3)          # D, N
+        if dn.any():
+            rstart = (f[op_rec[dn], F_POS].astype(np.int64) + roff[dn])
+            rend = rstart + lens[dn]
+            lo_d = np.clip(rstart, base, iv.end) - base
+            hi_d = np.clip(rend, base, iv.end) - base
+            np.add.at(depth, (sidx[op_rec[dn]], lo_d), -1)
+            np.add.at(depth, (sidx[op_rec[dn]], hi_d), 1)
     return samples, np.cumsum(depth[:, :-1], axis=1)
 
 
 def _shard_depth(src: BamInputSource, shard: list[Interval], header,
                  default_sample: str, genes: list[Gene],
                  emit_base: str | None,
-                 emit_intervals: bool) -> DepthShardResult:
+                 emit_intervals: bool,
+                 min_mapq: int = 0) -> DepthShardResult:
     all_samples: list[str] = []
     hist: dict[str, np.ndarray] = {}
     total: dict[str, int] = {}
@@ -147,7 +196,8 @@ def _shard_depth(src: BamInputSource, shard: list[Interval], header,
     gene_lengths: dict[str, int] = {}
     base_f = open(emit_base, "w") if emit_base else None
     for iv in shard:
-        samples, depth = _interval_depths(src, iv, header, default_sample)
+        samples, depth = _interval_depths(src, iv, header, default_sample,
+                                          min_mapq=min_mapq)
         for s in samples:
             if s not in all_samples:
                 all_samples.append(s)
@@ -204,7 +254,19 @@ def run_depth(conf: Config, ref: str, input_path: str, output: str,
               omit_intervals: bool = False,
               omit_sample_summary: bool = False,
               thresholds: tuple[int, ...] = (1, 10, 15, 30),
-              force: bool = False) -> str:
+              force: bool = False,
+              extra_opts: list[str] | None = None) -> str:
+    from ..utils.extraopts import ExtraOpts
+    xo = ExtraOpts(extra_opts)
+    # GATK DepthOfCoverage surface forwarded by the reference's depth
+    # worker (DepthWorker.cpp:46-91 passes --extra-options verbatim)
+    ct = xo.get_all("-ct", "--summaryCoverageThreshold",
+                    "--summary-coverage-threshold")
+    if ct:
+        thresholds = tuple(sorted(min(int(v), MAX_DEPTH_BIN) for v in ct))
+    min_mapq = xo.get_int("-mmq", "--minMappingQuality",
+                          "--min_mapping_quality_score", default=0)
+    xo.warn_unused("depth")
     output = check_output(output, force)
     fa = load_fasta(ref)
     src = BamInputSource.from_conf(conf, input_path)
@@ -213,24 +275,41 @@ def run_depth(conf: Config, ref: str, input_path: str, output: str,
     genes = read_gene_list(gene_list) if gene_list else []
 
     runner = PipelineRunner.from_conf("Depth of Coverage", conf,
-                                      force=True)
-    base_dir = None
-    if not omit_base_output:
-        base_dir = Path(str(output) + ".parts")
-        base_dir.mkdir(parents=True, exist_ok=True)
+                                      force=force)
+    part_dir = Path(str(output) + ".parts")
+    part_dir.mkdir(parents=True, exist_ok=True)
+    base_dir = part_dir if not omit_base_output else None
 
-    def one(s, idx):
+    live = [(i, s) for i, s in enumerate(shards) if s]
+    pkl_paths = [str(part_dir / f"part-{i:06d}.depth.pkl")
+                 for i, _ in live]
+
+    def one(s, idx, pkl):
+        # per-shard result persisted atomically → kill-and-rerun reuses
+        # completed shards (resume; the stage skips when all parts exist)
+        import os
+        import pickle
         emit_base = (str(base_dir / f"part-{idx:06d}.cov")
                      if base_dir is not None else None)
-        return _shard_depth(src, s, header, sample, genes, emit_base,
-                            not omit_intervals)
+        res = _shard_depth(src, s, header, sample, genes, emit_base,
+                           not omit_intervals, min_mapq=min_mapq)
+        with open(pkl + ".tmp", "wb") as f:
+            pickle.dump(res, f)
+        os.replace(pkl + ".tmp", pkl)
+        return pkl
 
-    tasks = [(lambda s=s, i=i: one(s, i))
-             for i, s in enumerate(shards) if s]
+    tasks = [(lambda s=s, i=i, p=p: one(s, i, p))
+             for (i, s), p in zip(live, pkl_paths)]
     (parts,) = runner.run([stage(
-        "DepthOfCoverage", tasks,
+        "DepthOfCoverage", tasks, outputs=pkl_paths,
         nprocs=conf.get("gatk.depth.nprocs"))]).values()
 
+    import pickle
+    loaded = []
+    for p in parts:
+        with open(p, "rb") as f:
+            loaded.append(pickle.load(f))
+    parts = loaded
     combined = parts[0]
     for p in parts[1:]:
         combined = combined + p  # DepthCombineWorker reduce

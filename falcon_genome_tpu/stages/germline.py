@@ -4,10 +4,18 @@ Mirrors src/worker-germline.cpp:21-337 — the reference's one-command
 end-to-end germline pipeline (align per read group, per-bucket sort,
 HaplotypeCaller scatter, concat/zip) — the "minimum end-to-end slice"
 (SURVEY.md §3.3).
+
+Resume: each completed sub-stage leaves its artifact in ``work/`` plus a
+``.done`` marker; a re-run (after a kill) reuses completed artifacts and
+restarts at the first unfinished stage.  ``-f`` discards the work dir
+and recomputes everything — the reference's per-subcommand re-runnability
+against deterministic artifacts (scripts/pipeline.sh:24-63,
+common.h:232-245) fused into one driver.
 """
 from __future__ import annotations
 
 import logging
+import shutil
 from pathlib import Path
 
 from ..config import Config
@@ -19,26 +27,54 @@ from .calling import run_htc
 log = logging.getLogger("falcon_genome_tpu")
 
 
+def _done_marker(work: Path, name: str) -> Path:
+    return work / f".{name}.done"
+
+
+def _reusable(work: Path, name: str, artifact: Path) -> bool:
+    """Artifact complete from a previous (killed) run?  The marker is
+    written only after the artifact is fully on disk, so marker+artifact
+    together mean the stage finished."""
+    return _done_marker(work, name).exists() and artifact.exists()
+
+
 def run_germline(conf: Config, ref: str, output_vcf: str,
                  fastq1: str | None = None, fastq2: str | None = None,
                  sample_sheet: str | None = None,
                  sample_id: str = "sample", read_group: str = "rg0",
                  produce_vcf: bool = False, markdup: bool = True,
                  work_dir: str | None = None, long_reads: bool = False,
-                 force: bool = False) -> str:
+                 force: bool = False,
+                 extra_opts: list[str] | None = None) -> str:
     # validate the final output BEFORE any alignment work (the reference
     # checks outputs in Worker::check() ahead of execution —
     # src/common.cpp:75-114); run_htc re-checks, by then it's gone/allowed
     check_output(output_vcf, force)
     work = Path(work_dir or (str(output_vcf) + ".work"))
+    if force and work.exists():
+        shutil.rmtree(work)
     work.mkdir(parents=True, exist_ok=True)
 
-    bam_paths = run_align(
-        conf, ref, str(work / "aligned.bam"), fastq1=fastq1, fastq2=fastq2,
-        sample_sheet=sample_sheet, sample_id=sample_id,
-        read_group=read_group, long_reads=long_reads, force=True)
+    aligned = work / "aligned.bam"
+    if _reusable(work, "align", aligned):
+        log.info("germline: resume — reusing %s", aligned)
+        bam_paths = [str(aligned)]
+    else:
+        bam_paths = run_align(
+            conf, ref, str(aligned), fastq1=fastq1, fastq2=fastq2,
+            sample_sheet=sample_sheet, sample_id=sample_id,
+            read_group=read_group, long_reads=long_reads, force=True,
+            extra_opts=extra_opts)
+        _done_marker(work, "align").touch()
     bam = bam_paths[0]
     if markdup:
-        bam = run_markdup(conf, bam, str(work / "dedup.bam"), force=True)
+        dedup = work / "dedup.bam"
+        if _reusable(work, "markdup", dedup):
+            log.info("germline: resume — reusing %s", dedup)
+        else:
+            run_markdup(conf, bam, str(dedup), force=True,
+                        extra_opts=extra_opts)
+            _done_marker(work, "markdup").touch()
+        bam = str(dedup)
     return run_htc(conf, ref, bam, output_vcf, produce_vcf=produce_vcf,
-                   sample=sample_id, force=force)
+                   sample=sample_id, force=force, extra_opts=extra_opts)

@@ -79,18 +79,33 @@ def _eval_filter_expr(expr: str, rec: VcfRecord) -> bool:
 
 def run_vcf_filter(conf: Config, ref: str, input_path: str, output: str,
                    filter_expr: str, filter_name: str = "FILTERED",
-                   force: bool = False) -> str:
+                   force: bool = False,
+                   extra_opts: list[str] | None = None) -> str:
+    from ..utils.extraopts import ExtraOpts
+    xo = ExtraOpts(extra_opts)
+    # VariantFiltration accepts additional expression/name pairs through
+    # --extra-options (VariantsFilterWorker.cpp:43-80 forwards verbatim)
+    pairs = [(filter_expr, filter_name)]
+    extra_exprs = xo.get_all("--filterExpression", "--filter-expression")
+    extra_names = xo.get_all("--filterName", "--filter-name")
+    for j, e in enumerate(extra_exprs):
+        pairs.append((e.strip('"'),
+                      extra_names[j] if j < len(extra_names)
+                      else f"FILTER{j + 1}"))
+    xo.warn_unused("vcf_filter")
     output = check_output(output, force)
     header, records = read_vcf(check_input(input_path))
     nfail = 0
     for r in records:
-        if _eval_filter_expr(filter_expr, r):
-            r.filter = filter_name
+        names = [nm for expr, nm in pairs if _eval_filter_expr(expr, r)]
+        if names:
+            r.filter = ";".join(names)
             nfail += 1
         elif r.filter in (".", ""):
             r.filter = "PASS"
-    header.meta.append(
-        f'##FILTER=<ID={filter_name},Description="{filter_expr}">')
+    for expr, nm in pairs:
+        header.meta.append(
+            f'##FILTER=<ID={nm},Description="{expr}">')
     write_vcf(output, header, records)
     log.info("vcf_filter: %d/%d records filtered → %s",
              nfail, len(records), output)
@@ -389,20 +404,30 @@ def _biallelic_gls(pl_merged: list[int] | None, alt_idx: int,
 
 
 def run_joint(conf: Config, ref: str, input_path: str, output: str,
-              force: bool = False) -> str:
+              force: bool = False,
+              extra_opts: list[str] | None = None) -> str:
     """Joint genotyping: merge per-sample gVCFs into a multi-sample VCF.
 
     Scatter/gather like the reference's joint driver (GenomicsDB import +
     per-contig GenotypeGVCFs, worker-joint.cpp): the genome is split into
     ``gatk.joint.ncontigs`` shards, each shard streams only its region
-    from every sample's gVCF via the ``.tbi`` index (whole-file reads
-    only for unindexed inputs), and per-shard parts concat at the end."""
+    from every sample's gVCF via the ``.tbi`` index; unindexed inputs are
+    bgzip+tabix'd once into the work dir (the reference's ZIP/Tabix
+    preconditioning) so per-shard memory stays O(shard), never O(file)."""
     from ..io.intervals import split_equal_bp
     from ..io.tabix import query_vcf_region
+    from ..io.vcf import ensure_indexed_vcf
     from ..pipeline.runner import PipelineRunner, stage
     from ..utils.common import get_contig_fname
+    from ..utils.extraopts import ExtraOpts
     from .common import load_fasta
 
+    xo = ExtraOpts(extra_opts)
+    # GenotypeGVCFs emission threshold (GATK -stand_call_conf)
+    call_conf = xo.get_float(
+        "-stand_call_conf",
+        "--standard_min_confidence_threshold_for_calling")
+    xo.warn_unused("joint")
     output = check_output(output, force)
     if Path(input_path).is_dir():
         paths = get_input_list(input_path, r".*\.(g\.vcf|gvcf)(\.gz)?")
@@ -412,46 +437,35 @@ def run_joint(conf: Config, ref: str, input_path: str, output: str,
     fa = load_fasta(ref)
     shards = split_equal_bp(fa.dict, conf.get("gatk.joint.ncontigs"))
 
+    part_dir = Path(output).parent / (Path(output).name + ".parts")
+    part_dir.mkdir(parents=True, exist_ok=True)
+
     sample_names: list[str] = []
     contigs = None
-    indexed: list[bool] = []
-    full_cache: dict[str, list[VcfRecord]] = {}
+    import gzip
+    paths = [ensure_indexed_vcf(p, part_dir / "indexed") for p in paths]
     for p in paths:
-        has_tbi = Path(str(p) + ".tbi").exists()
-        indexed.append(has_tbi)
-        if has_tbi:
-            import gzip
-            with gzip.open(p, "rt") as f:   # streams: header lines only
-                lines = []
-                for line in f:
-                    if not line.startswith("#"):
-                        break
-                    lines.append(line)
-            header = VcfHeader.from_lines(lines)
-        else:
-            header, records = read_vcf(p)
-            full_cache[str(p)] = records
+        with gzip.open(p, "rt") as f:   # streams: header lines only
+            lines = []
+            for line in f:
+                if not line.startswith("#"):
+                    break
+                lines.append(line)
+        header = VcfHeader.from_lines(lines)
         sample_names.append(header.samples[0] if header.samples
                             else Path(p).stem)
         contigs = contigs or header.contigs
 
-    part_dir = Path(output).parent / (Path(output).name + ".parts")
-    part_dir.mkdir(parents=True, exist_ok=True)
+    part_paths = [get_contig_fname(part_dir, i, "vcf")
+                  for i in range(len(shards))]
 
     def one(shard, idx):
         evidence = []
-        for p, has_tbi in zip(paths, indexed):
+        for p in paths:
             recs: list[VcfRecord] = []
             for iv in shard:
-                if has_tbi:
-                    recs.extend(query_vcf_region(
-                        p, iv.contig, iv.start, iv.end))
-                else:
-                    recs.extend(
-                        r for r in full_cache[str(p)]
-                        if r.contig == iv.contig and r.pos <= iv.end
-                        and int(r.info.get(
-                            "END", r.pos + len(r.ref) - 1)) >= iv.start)
+                recs.extend(query_vcf_region(
+                    p, iv.contig, iv.start, iv.end))
             evidence.append(_sample_evidence(recs))
         # a variant belongs to the shard that contains its POS (avoids
         # double emission when an overlapping record enters two shards)
@@ -462,20 +476,22 @@ def run_joint(conf: Config, ref: str, input_path: str, output: str,
                                    for iv in shard)]:
                 del variants[key]
         recs = _merge_shard_sites(evidence, sample_names)
-        path = get_contig_fname(part_dir, idx, "vcf")
+        if call_conf is not None:
+            recs = [r for r in recs
+                    if r.qual is None or r.qual >= call_conf]
+        path = part_paths[idx]
         hdr = VcfHeader(contigs=contigs or [], samples=sample_names,
                         meta=list(STANDARD_META))
         write_vcf(path, hdr, recs)
         return path
 
-    runner = PipelineRunner("Joint Genotyping", force=True)
+    runner = PipelineRunner.from_conf("Joint Genotyping", conf,
+                                      force=force)
     tasks = [(lambda s=s, i=i: one(s, i)) for i, s in enumerate(shards)]
     (parts,) = runner.run([stage(
-        "GenotypeGVCFs", tasks,
+        "GenotypeGVCFs", tasks, outputs=part_paths,
         nprocs=conf.get("gatk.joint.nprocs", "gatk.nprocs"))]).values()
 
-    out_header = VcfHeader(contigs=contigs or [], samples=sample_names,
-                           meta=list(STANDARD_META))
     concat_vcfs(list(parts), output, sort=False)
     n = sum(1 for _ in parts)
     log.info("joint: %d samples, %d shards → %s",
