@@ -150,6 +150,43 @@ def bench_sw_score(jax, jnp, backend, rng):
     return float(Bsw) * rl * wl / per_call / 1e9
 
 
+def bench_vpu_roofline(jax, jnp):
+    """Measured elementwise-FMA roofline of the attached chip (GFLOP/s).
+
+    A loop-carried x = x*a + b on a VMEM-resident f32 tile is the
+    practical ceiling for the PairHMM wavefront, whose inner loop is
+    exactly this class of dependent (R, lanes) elementwise VPU math (no
+    MXU path exists for an anti-diagonal DP).  2 flops per element per
+    iteration."""
+    E = (1024, 512)
+    a = jnp.full(E, 1.0000001, jnp.float32)
+    b = jnp.full(E, 1e-9, jnp.float32)
+    n_iter = 512
+
+    @jax.jit
+    def loop(x):
+        return jax.lax.fori_loop(0, n_iter, lambda _, x: x * a + b, x)
+
+    per_iter = _timed_loop(loop, (jnp.ones(E, jnp.float32),), n_iter)
+    return 2.0 * E[0] * E[1] / per_iter / 1e9
+
+
+# arithmetic VPU ops per computed cell per diagonal in the Pallas kernel
+# (ops/pairhmm.py::_pairhmm_kernel substep — matches its CostEstimate)
+KERNEL_FLOPS_PER_CELL = 22
+
+
+def pairhmm_mfu(gcups: float, vpu_gflops: float) -> float:
+    """Fraction of the measured VPU roofline the PairHMM sustains.
+
+    GCUPS counts *useful* cells (R_REAL × H_REAL per pair); the kernel
+    computes the full padded wavefront — BUCKET_R rows × (BUCKET_R +
+    BUCKET_H) diagonals — so the executed-work ratio scales the counted
+    rate up before dividing by the roofline."""
+    executed_ratio = (BUCKET_R * (BUCKET_R + BUCKET_H)) / (R_REAL * H_REAL)
+    return gcups * executed_ratio * KERNEL_FLOPS_PER_CELL / vpu_gflops
+
+
 def bench_align(rng):
     """Aligner engine throughput: 5k × 150 bp reads vs a 1 Mb genome."""
     from falcon_genome_tpu.aligner import (
@@ -220,6 +257,12 @@ def main() -> None:
         extras["align_mapped_frac"] = round(mapped, 4)
     except Exception as e:
         print(f"# align extra failed: {e!r}", file=sys.stderr)
+    try:
+        vpu = bench_vpu_roofline(jax, jnp)
+        extras["vpu_roofline_gflops"] = round(vpu, 1)
+        extras["pairhmm_mfu"] = round(pairhmm_mfu(gcups, vpu), 3)
+    except Exception as e:
+        print(f"# roofline extra failed: {e!r}", file=sys.stderr)
 
     print(json.dumps({
         "metric": "pairhmm_forward_gcups",

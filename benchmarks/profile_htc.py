@@ -66,4 +66,8 @@ tp = sum(1 for p in snps if p in called)
 print(f"call_interval: {dt:.1f}s  ({len(records)/dt:.0f} reads/s)  "
       f"calls={len(out)} tp={tp}/{len(snps)}")
 st = pstats.Stats(prof)
+st.dump_stats("/tmp/htc_profile.pstats")
 st.sort_stats("cumulative").print_stats(25)
+print("\n==== callers of numpy.asarray / numpy.full ====")
+st.print_callers("numpy.asarray")
+st.print_callers("numeric.py:300")

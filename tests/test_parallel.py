@@ -117,6 +117,64 @@ class TestActiveMeshPipeline:
                      tuple(s.get("GT") for s in r.samples)) for r in recs]
         assert sig(single) == sig(sharded)
 
+    def test_htc_stage_mesh_equivalence_at_scale(self, devices, tmp_path):
+        """Benchmark-scale gate (round-3): a 60 kb / ~9k-read germline
+        with dozens of active regions and multiple PairHMM lane buckets
+        through the full run_htc stage — the mesh run must emit the
+        identical VCF (round-2 gate was a 120-read toy)."""
+        from falcon_genome_tpu import stages
+        from falcon_genome_tpu.config import Config, Machine
+        from falcon_genome_tpu.io.bam import write_bam
+        from falcon_genome_tpu.io.dna import decode_seq
+        from falcon_genome_tpu.io.fasta import write_fasta
+        from falcon_genome_tpu.io.sam import (SamHeader, SamRecord,
+                                              cigar_from_str)
+        from falcon_genome_tpu.io.vcf import read_vcf
+        from falcon_genome_tpu.parallel.mesh import use_mesh
+
+        rng = np.random.default_rng(9)
+        G, L = 60_000, 100
+        ref = rng.integers(0, 4, G).astype(np.uint8)
+        alt = ref.copy()
+        snps = np.arange(1500, G - 1500, 2400)       # 25 het SNPs
+        for p in snps:
+            alt[p] = (alt[p] + 1) % 4
+        records = []
+        i = 0
+        for start in range(0, G - L, 7):             # ~14x, both haps
+            hap = alt if i % 2 else ref
+            seq = hap[start:start + L]
+            records.append(SamRecord(
+                f"r{i}", 0, 0, start, 60, cigar_from_str(f"{L}M"),
+                seq=decode_seq(seq), qual="I" * L))
+            i += 1
+        records.sort(key=lambda r: r.pos)
+        ref_fa = tmp_path / "ref.fa"
+        write_fasta(ref_fa, {"chr1": decode_seq(ref)})
+        bam = tmp_path / "in.bam"
+        write_bam(bam, SamHeader(contigs=[("chr1", G)]), records)
+        conf = Config(machine=Machine(8, 16), environ={},
+                      load_files=False)
+        conf.set("gatk.ncontigs", 8)
+        mesh = make_mesh(MeshSpec(data=4, region=2), devices)
+
+        def run(tag, mesh_ctx):
+            out = tmp_path / f"{tag}.vcf"
+            with use_mesh(mesh_ctx):
+                stages.run_htc(conf, str(ref_fa), str(bam), str(out),
+                               produce_vcf=True, force=True)
+            _, recs = read_vcf(str(out))
+            return [(r.pos, r.ref, tuple(r.alts), r.qual,
+                     tuple(s.get("GT") for s in r.samples))
+                    for r in recs]
+
+        single = run("single", None)
+        sharded = run("mesh", mesh)
+        called = {p for p, *_ in single}
+        assert len(called & {int(p) + 1 for p in snps}) >= 20, \
+            f"sim should recover most planted SNPs, got {len(called)}"
+        assert single == sharded
+
     def test_mesh_from_conf(self, devices):
         from falcon_genome_tpu.config import Config
         from falcon_genome_tpu.parallel.mesh import mesh_from_conf
@@ -170,6 +228,38 @@ class TestGraftEntry:
         sys.path.insert(0, str(Path(__file__).parent.parent))
         import __graft_entry__ as ge
         ge.dryrun_multichip(8)
+
+
+class TestMultiProcessBringup:
+    def test_two_process_distributed_initialize(self, tmp_path):
+        """P6 execution evidence: two real processes bring up
+        jax.distributed through ``tpu.dist.*`` → ``initialize_from_conf``
+        (the reference's mpirun hostfile path) and run one cross-process
+        psum over the DCN-analog (Gloo) backend."""
+        import os
+        import socket
+        import subprocess
+        import sys
+        from pathlib import Path
+
+        with socket.socket() as s:        # free port for the coordinator
+            s.bind(("localhost", 0))
+            port = s.getsockname()[1]
+        coord = f"localhost:{port}"
+        worker = str(Path(__file__).parent / "distproc_worker.py")
+        env = dict(os.environ)
+        env.pop("XLA_FLAGS", None)        # 1 local CPU device per process
+        procs = [subprocess.Popen(
+            [sys.executable, worker, str(i), coord],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env)
+            for i in range(2)]
+        outs = []
+        for p in procs:
+            out, _ = p.communicate(timeout=120)
+            outs.append(out.decode(errors="replace"))
+        for i, (p, out) in enumerate(zip(procs, outs)):
+            assert p.returncode == 0, f"process {i} failed:\n{out}"
+            assert f"DISTOK {i}" in out
 
 
 class TestDistributedSort:
