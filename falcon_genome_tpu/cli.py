@@ -245,7 +245,7 @@ def dispatch(args: argparse.Namespace, conf) -> None:
     elif cmd == "indel":
         from .stages.indel import run_indel
         run_indel(conf, args.ref, args.input, args.output,
-                  force=args.force)
+                  force=args.force, extra_opts=args.extra_options)
     elif cmd == "joint":
         stages.run_joint(conf, args.ref, args.input_dir, args.output,
                          force=args.force, extra_opts=args.extra_options)

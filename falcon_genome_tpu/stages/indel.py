@@ -10,6 +10,13 @@ the target's reference window — reads whose fresh alignment scores
 strictly better get their position/CIGAR rewritten.  (GATK4 dropped this
 stage because haplotype-based calling subsumes it; it is provided for
 reference-pipeline parity.)
+
+The data plane is the shared columnar input (BamInputSource): shards
+stream via the ``.bai`` index at scale, record objects materialize only
+per shard for the irregular target/realign work, and the realigned
+columns merge through one coordinate sort — the same per-contig scatter
+the reference runs (IndelWorker ×ncontigs with ``-L``; like GATK's
+``-L``, unmapped reads fall outside every interval).
 """
 from __future__ import annotations
 
@@ -18,76 +25,114 @@ import logging
 import numpy as np
 
 from ..config import Config
-from ..io.bam import write_bam
+from ..io.bam import write_bam_columns
+from ..io.columns import RecordColumns
 from ..io.dna import encode_seq
 from ..io.sam import CIGAR_S, cigar_to_str
 from ..models.activeregion import ActiveRegionParams, find_active_regions
 from ..ops.smith_waterman import SWBucket, sw_extend_batch
 from ..ops.sw_ref import SWParams
+from ..pipeline.runner import PipelineRunner, stage
 from ..utils.common import check_output
-from .bamstages import load_bam_input
-from .common import load_fasta
+from .bamstages import BamInputSource
+from .common import interval_shards, load_fasta
 
 log = logging.getLogger("falcon_genome_tpu")
 
 
+def _realign_interval(reads, codes: np.ndarray, lo0: int, hi0: int,
+                      params: SWParams) -> int:
+    """RTC + realignment over one interval's reads (in place)."""
+    import jax
+
+    live = [r for r in reads if not r.is_unmapped
+            and r.seq not in ("*", "")]
+    if not live:
+        return 0
+    targets = find_active_regions(
+        live, codes, lo0, hi0, ActiveRegionParams(threshold=0.05, pad=40))
+    n_realigned = 0
+    for lo, hi in targets:
+        # every read overlapping the target is a candidate: misaligned
+        # reads typically carry plain mismatch-dense M CIGARs — the
+        # strict score comparison below keeps only true improvements
+        cand = [r for r in live if r.pos < hi and r.end_pos > lo]
+        if not cand:
+            continue
+        win = codes[lo:hi]
+        maxr = max(len(r.seq) for r in cand)
+        R = ((maxr + 31) // 32) * 32
+        W = ((len(win) + 127) // 128) * 128
+        rarr = np.full((len(cand), maxr), 4, np.uint8)
+        rl = np.zeros(len(cand), np.int32)
+        for i, r in enumerate(cand):
+            s = encode_seq(r.seq)
+            rarr[i, :len(s)] = s
+            rl[i] = len(s)
+        wins = np.tile(win, (len(cand), 1)).astype(np.uint8)
+        wl = np.full(len(cand), len(win), np.int32)
+        bucket = SWBucket(
+            max_read_len=R, max_win_len=W,
+            backend="pallas" if jax.default_backend() == "tpu"
+            else "jax")
+        results = sw_extend_batch(rarr, rl, wins, wl, params, bucket)
+        for r, res in zip(cand, results):
+            if res.score <= 0:
+                continue
+            old_score = _score_current(r, codes, params)
+            if res.score > old_score:
+                r.set_tag("OC", "Z", cigar_to_str(r.cigar))
+                r.pos = lo + res.ref_start
+                r.cigar = res.cigar
+                n_realigned += 1
+    return n_realigned
+
+
 def run_indel(conf: Config, ref: str, input_path: str, output: str,
-              force: bool = False) -> str:
+              force: bool = False,
+              extra_opts: list[str] | None = None) -> str:
+    from ..utils.extraopts import ExtraOpts
+    xo = ExtraOpts(extra_opts)
+    xo.warn_unused("indel")
     output = check_output(output, force)
     fa = load_fasta(ref)
-    header, records = load_bam_input(input_path)
+    src = BamInputSource.from_conf(conf, input_path)
+    header = src.header
     params = SWParams()
-    n_realigned = 0
+    shards = interval_shards(conf, fa)
+    runner = PipelineRunner.from_conf("Indel Realignment", conf,
+                                      force=True)
 
-    for tid, (cname, clen) in enumerate(header.contigs):
-        if cname not in fa.dict.by_name:
-            continue
-        codes = fa.contig_codes(cname)
-        contig_reads = [r for r in records if r.tid == tid
-                        and not r.is_unmapped]
-        if not contig_reads:
-            continue
-        targets = find_active_regions(
-            contig_reads, codes, 0, clen,
-            ActiveRegionParams(threshold=0.05, pad=40))
-        for lo, hi in targets:
-            # every read overlapping the target is a candidate: misaligned
-            # reads typically carry plain mismatch-dense M CIGARs — the
-            # strict score comparison below keeps only true improvements
-            cand = [r for r in contig_reads
-                    if r.pos < hi and r.end_pos > lo
-                    and r.seq not in ("*", "")]
-            if not cand:
+    def one(shard):
+        parts = []
+        n_re = 0
+        for iv in shard:
+            if iv.contig not in fa.dict.by_name:
                 continue
-            win = codes[lo:hi]
-            maxr = max(len(r.seq) for r in cand)
-            R = ((maxr + 31) // 32) * 32
-            W = ((len(win) + 127) // 128) * 128
-            reads = np.full((len(cand), maxr), 4, np.uint8)
-            rl = np.zeros(len(cand), np.int32)
-            for i, r in enumerate(cand):
-                s = encode_seq(r.seq)
-                reads[i, :len(s)] = s
-                rl[i] = len(s)
-            wins = np.tile(win, (len(cand), 1)).astype(np.uint8)
-            wl = np.full(len(cand), len(win), np.int32)
-            import jax
-            bucket = SWBucket(
-                max_read_len=R, max_win_len=W,
-                backend="pallas" if jax.default_backend() == "tpu"
-                else "jax")
-            results = sw_extend_batch(reads, rl, wins, wl, params, bucket)
-            for r, res in zip(cand, results):
-                if res.score <= 0:
-                    continue
-                old_score = _score_current(r, codes, params)
-                if res.score > old_score:
-                    r.set_tag("OC", "Z", cigar_to_str(r.cigar))
-                    r.pos = lo + res.ref_start
-                    r.cigar = res.cigar
-                    n_realigned += 1
+            # by_start: a partition — each record realigns in exactly
+            # one shard and is emitted once
+            cols = src.columns_for([iv], by_start=True)
+            if len(cols) == 0:
+                continue
+            recs = cols.to_records()
+            codes = fa.contig_codes(iv.contig)
+            n_re += _realign_interval(recs, codes, iv.start - 1, iv.end,
+                                      params)
+            parts.append(RecordColumns.from_records(recs))
+        if not parts:
+            return None, 0
+        return RecordColumns.concat(parts), n_re
 
-    write_bam(output, header, records)
+    tasks = [(lambda s=s: one(s)) for s in shards if s]
+    (results,) = runner.run([stage(
+        "IndelRealigner", tasks,
+        nprocs=conf.get("gatk.nprocs"))]).values()
+    parts = [c for c, _ in results if c is not None and len(c)]
+    n_realigned = sum(n for c, n in results if c is not None)
+    merged = RecordColumns.concat(parts) if parts \
+        else RecordColumns.from_records([])
+    write_bam_columns(output, header, merged,
+                      order=merged.coordinate_order())
     log.info("indel: %d reads realigned → %s", n_realigned, output)
     return output
 
