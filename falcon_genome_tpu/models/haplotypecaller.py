@@ -160,10 +160,8 @@ def read_hap_likelihood_matrix(reads: list[SamRecord],
             rlens[b] = max(len(rc), 1)
             hcodes[b, :len(h)] = h
             hlens[b] = len(h)
-    gcps = np.full_like(quals, gcp)
-    indel_q = np.full_like(quals, 45)
     logp = np.asarray(pairhmm_logp(
-        codes, quals, indel_q, indel_q, gcps, rlens, hcodes, hlens,
+        codes, quals, 45, 45, gcp, rlens, hcodes, hlens,
         params=_default_pairhmm_params(maxrl, maxhl)))
     mat = normalize_read_likelihoods(logp.reshape(n_r, n_h))
     return mat, [c for c, _ in clipped]
@@ -232,18 +230,29 @@ def _likelihoods_multi(staged: list[dict], gcp: int) -> list[np.ndarray]:
     hcodes = np.full((total, maxhl), 4, np.uint8)
     hlens = np.ones(total, np.int32)
     for s, (off, n_r, n_h) in zip(staged, spans):
+        # pair rows are (read ⊗ hap): fill per-region read/hap matrices
+        # once, then repeat/tile — O(n_r + n_h) Python instead of
+        # O(n_r × n_h) per-pair slicing (a WGS-shard host hot loop)
+        rmat = np.full((n_r, maxrl), 4, np.uint8)
+        qmat = np.zeros((n_r, maxrl), np.uint8)
+        rlv = np.ones(n_r, np.int32)
         for ri, (rc, q) in enumerate(s["clipped"]):
-            for hi, h in enumerate(s["haps"]):
-                b = off + ri * n_h + hi
-                codes[b, :len(rc)] = rc
-                quals[b, :len(q)] = q
-                rlens[b] = max(len(rc), 1)
-                hcodes[b, :len(h)] = h
-                hlens[b] = len(h)
-    gcps = np.full_like(quals, gcp)
-    indel_q = np.full_like(quals, 45)
+            rmat[ri, :len(rc)] = rc
+            qmat[ri, :len(q)] = q
+            rlv[ri] = max(len(rc), 1)
+        hmat = np.full((n_h, maxhl), 4, np.uint8)
+        hlv = np.ones(n_h, np.int32)
+        for hi, h in enumerate(s["haps"]):
+            hmat[hi, :len(h)] = h
+            hlv[hi] = len(h)
+        end = off + n_r * n_h
+        codes[off:end] = np.repeat(rmat, n_h, axis=0)
+        quals[off:end] = np.repeat(qmat, n_h, axis=0)
+        rlens[off:end] = np.repeat(rlv, n_h)
+        hcodes[off:end] = np.tile(hmat, (n_r, 1))
+        hlens[off:end] = np.tile(hlv, n_r)
     logp = np.asarray(pairhmm_logp(
-        codes, quals, indel_q, indel_q, gcps, rlens, hcodes, hlens,
+        codes, quals, 45, 45, gcp, rlens, hcodes, hlens,
         params=_default_pairhmm_params(maxrl, maxhl)))
     out = []
     for (off, n_r, n_h) in spans:

@@ -247,12 +247,20 @@ def _pairhmm_device(read_codes, base_q, ins_q, del_q, gcp, read_lens,
     conversion happens inside this jit so a call is ONE dispatch (the
     remote-tunnel dispatch latency of un-jitted ops dwarfs the kernel).
     """
-    p_err = _phred_to_prob(base_q)
-    p_ins = _phred_to_prob(ins_q)
-    p_del = _phred_to_prob(del_q)
-    p_cont = _phred_to_prob(gcp)
+    # inputs may arrive as uint8 (codes/phreds) and the qual planes as
+    # (1, 1) scalars: the host→device wire is the scarce resource on a
+    # remote-tunnel TPU (~20-50 MB/s), so callers ship the minimal bytes
+    # and the expansion to int32/f32 (R, B) planes happens on device
+    read_codes = read_codes.astype(jnp.int32)
+    hap_codes = hap_codes.astype(jnp.int32)
     R, B = read_codes.shape
     H = hap_codes.shape[0]
+    p_err = jnp.broadcast_to(_phred_to_prob(base_q), (R, B))
+    p_ins = jnp.broadcast_to(_phred_to_prob(ins_q), (R, B))
+    p_del = jnp.broadcast_to(_phred_to_prob(del_q), (R, B))
+    p_cont = jnp.broadcast_to(_phred_to_prob(gcp), (R, B))
+    read_lens = read_lens.astype(jnp.int32)
+    hap_lens = hap_lens.astype(jnp.int32)
     L = params.lanes
     nblocks = B // L
 
@@ -303,12 +311,16 @@ def _pairhmm_jax(read_codes, base_q, ins_q, del_q, gcp, rlen, hlen,
     Quality inputs are phred int arrays OR pre-converted f32 probability
     arrays (float inputs pass through unchanged).
     """
-    p_err = _phred_to_prob(base_q)
-    p_ins = _phred_to_prob(ins_q)
-    p_del = _phred_to_prob(del_q)
-    p_cont = _phred_to_prob(gcp)
     f32 = jnp.float32
+    read_codes = read_codes.astype(jnp.int32)
+    hap_codes = hap_codes.astype(jnp.int32)
     B = read_codes.shape[1]
+    p_err = jnp.broadcast_to(_phred_to_prob(base_q), (R, B))
+    p_ins = jnp.broadcast_to(_phred_to_prob(ins_q), (R, B))
+    p_del = jnp.broadcast_to(_phred_to_prob(del_q), (R, B))
+    p_cont = jnp.broadcast_to(_phred_to_prob(gcp), (R, B))
+    rlen = rlen.astype(jnp.int32)
+    hlen = hlen.astype(jnp.int32)
     a_mm = 1.0 - jnp.minimum(1.0, p_ins + p_del)
     a_im = 1.0 - p_cont
     rvec = jnp.arange(R, dtype=jnp.int32).reshape(R, 1)
@@ -393,16 +405,20 @@ def _local_pairhmm(read_t, baseq_t, insq_t, delq_t, gcp_t, rlen_t, hlen_t,
     return logp
 
 
-def _pairhmm_sharded(mesh, params: PairHMMParams, R: int, H: int):
+def _pairhmm_sharded(mesh, params: PairHMMParams, R: int, H: int,
+                     replicated: tuple[bool, ...] = (False,) * 8):
     """Jit the local kernel under shard_map; batch lanes shard over the
-    full fused mesh (every chip scores an independent pair slice)."""
-    key = (mesh, params, R, H)
+    full fused mesh (every chip scores an independent pair slice).
+    ``replicated[i]`` marks args (e.g. (1, 1) scalar qual planes) that
+    broadcast to every device instead of sharding over lanes."""
+    key = (mesh, params, R, H, replicated)
     fn = _SHARDED_CACHE.get(key)
     if fn is not None:
         return fn
     from jax.sharding import PartitionSpec as P
     axes = tuple(mesh.axis_names)
     spec = P(None, axes)
+    in_specs = tuple(P(None, None) if r else spec for r in replicated)
 
     def local(read_t, baseq_t, insq_t, delq_t, gcp_t, rlen_t, hlen_t,
               hap_t):
@@ -411,7 +427,8 @@ def _pairhmm_sharded(mesh, params: PairHMMParams, R: int, H: int):
                               params=params)
 
     fn = jax.jit(jax.shard_map(
-        local, mesh=mesh, in_specs=(spec,) * 8, out_specs=P(axes), check_vma=False))
+        local, mesh=mesh, in_specs=in_specs, out_specs=P(axes),
+        check_vma=False))
     _SHARDED_CACHE[key] = fn
     return fn
 
@@ -434,9 +451,13 @@ def pairhmm_logp(read_codes, base_q, ins_q, del_q, gcp, read_lens,
         parts = []
         for s in range(0, read_codes.shape[0], MAX_LANES_PER_CALL):
             e = s + MAX_LANES_PER_CALL
+
+            def cut(x):     # scalar qual planes pass through unsliced
+                return x[s:e] if getattr(x, "ndim", 0) >= 1 else x
+
             parts.append(pairhmm_logp(
-                read_codes[s:e], base_q[s:e], ins_q[s:e], del_q[s:e],
-                gcp[s:e], read_lens[s:e], hap_codes[s:e], hap_lens[s:e],
+                read_codes[s:e], cut(base_q), cut(ins_q), cut(del_q),
+                cut(gcp), read_lens[s:e], hap_codes[s:e], hap_lens[s:e],
                 params))
         return jnp.concatenate(parts)
     B, Rin = read_codes.shape
@@ -459,17 +480,28 @@ def pairhmm_logp(read_codes, base_q, ins_q, del_q, gcp, read_lens,
         Bp *= 2
 
     def pad2(x, rows, fill=0):
+        # codes and phreds all fit uint8: ship 1/4 the bytes over the
+        # host→device wire; the int32/f32 expansion happens inside the jit
         x = np.asarray(x)
-        out = np.full((Bp, rows), fill, dtype=x.dtype)
+        if x.dtype != np.uint8:
+            x = x.astype(np.uint8)
+        out = np.full((Bp, rows), fill, dtype=np.uint8)
         out[:B, :x.shape[1]] = x
         return out.T  # time-major
 
-    read_t = pad2(read_codes.astype(np.int32), R, 4)
-    hap_t = pad2(hap_codes.astype(np.int32), H, 4)
-    baseq_t = jnp.asarray(pad2(np.asarray(base_q, np.int32), R))
-    insq_t = jnp.asarray(pad2(np.asarray(ins_q, np.int32), R))
-    delq_t = jnp.asarray(pad2(np.asarray(del_q, np.int32), R))
-    gcp_t = jnp.asarray(pad2(np.asarray(gcp, np.int32), R))
+    def qplane(x, rows):
+        # scalar qual plane (constant indel/gcp quals) → a (1, 1) array
+        # broadcast on device: nothing but 1 byte crosses the wire
+        if np.isscalar(x) or (isinstance(x, np.ndarray) and x.ndim == 0):
+            return np.full((1, 1), int(x), np.uint8)
+        return pad2(np.asarray(x), rows)
+
+    read_t = pad2(read_codes, R, 4)
+    hap_t = pad2(hap_codes, H, 4)
+    baseq_t = jnp.asarray(qplane(base_q, R))
+    insq_t = jnp.asarray(qplane(ins_q, R))
+    delq_t = jnp.asarray(qplane(del_q, R))
+    gcp_t = jnp.asarray(qplane(gcp, R))
 
     def pad1(x, fill):
         out = np.full((Bp,), fill, dtype=np.int32)
@@ -480,7 +512,10 @@ def pairhmm_logp(read_codes, base_q, ins_q, del_q, gcp, read_lens,
     hlen_t = pad1(hap_lens, 1)
 
     if mesh is not None:
-        logp = _pairhmm_sharded(mesh, params, R, H)(
+        repl = (False, baseq_t.shape == (1, 1), insq_t.shape == (1, 1),
+                delq_t.shape == (1, 1), gcp_t.shape == (1, 1),
+                False, False, False)
+        logp = _pairhmm_sharded(mesh, params, R, H, repl)(
             jnp.asarray(read_t), baseq_t, insq_t, delq_t, gcp_t,
             jnp.asarray(rlen_t), jnp.asarray(hlen_t), jnp.asarray(hap_t))
     elif params.backend == "jax":
