@@ -216,6 +216,59 @@ def bench_align(rng):
     return n / best, mapped
 
 
+def bench_germline_e2e(rng):
+    """Full align→markdup→htc chain (the product, not a kernel): a
+    60 kb / ~10.8k-read paired-end sim through the same stage functions
+    the CLI drives.  Returns (reads/s end-to-end, SNP sensitivity,
+    extra calls)."""
+    import os
+    import tempfile
+
+    from falcon_genome_tpu import stages
+    from falcon_genome_tpu.config import Config, Machine
+    from falcon_genome_tpu.io.dna import decode_seq, revcomp_codes
+    from falcon_genome_tpu.io.fasta import write_fasta
+    from falcon_genome_tpu.io.fastq import write_fastq
+    from falcon_genome_tpu.io.vcf import read_vcf
+
+    G, L, frag = 60_000, 150, 350
+    chrom = rng.integers(0, 4, G).astype(np.uint8)
+    tmp = tempfile.mkdtemp(prefix="bench-germline-")
+    ref = os.path.join(tmp, "ref.fa")
+    write_fasta(ref, {"chr20": decode_seq(chrom)})
+    alt = chrom.copy()
+    truth = np.arange(1200, G - 1200, 2000)
+    alt[truth] = (alt[truth] + 1) % 4
+    names, s1, q1, s2, q2 = [], [], [], [], []
+    i = 0
+    for start in range(0, G - frag, 11):
+        hap = alt if i % 2 else chrom
+        names.append(f"f{start}")
+        s1.append(decode_seq(hap[start:start + L]))
+        q1.append("I" * L)
+        s2.append(decode_seq(revcomp_codes(hap[start + frag - L:
+                                               start + frag])))
+        q2.append("I" * L)
+        i += 1
+    fq1 = os.path.join(tmp, "r_1.fastq")
+    fq2 = os.path.join(tmp, "r_2.fastq")
+    write_fastq(fq1, names, s1, q1)
+    write_fastq(fq2, names, s2, q2)
+    conf = Config(machine=Machine(2, 16), environ={}, load_files=False)
+    conf.set("temp_dir", tmp)
+    conf.set("log_dir", os.path.join(tmp, "log"))
+    out = os.path.join(tmp, "out.vcf.gz")
+    n_reads = 2 * len(names)
+    t0 = time.perf_counter()
+    stages.run_germline(conf, ref, out, fastq1=fq1, fastq2=fq2,
+                        sample_id="s", produce_vcf=True, force=True)
+    dt = time.perf_counter() - t0
+    _, recs = read_vcf(out)
+    called = {r.pos - 1 for r in recs if not r.is_gvcf_block}
+    ts = set(truth.tolist())
+    return n_reads / dt, len(ts & called) / len(ts), len(called - ts)
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
@@ -263,6 +316,14 @@ def main() -> None:
         extras["pairhmm_mfu"] = round(pairhmm_mfu(gcups, vpu), 3)
     except Exception as e:
         print(f"# roofline extra failed: {e!r}", file=sys.stderr)
+    try:
+        rps, sens, extra_calls = bench_germline_e2e(
+            np.random.default_rng(11))
+        extras["germline_e2e_reads_per_s"] = round(rps, 1)
+        extras["germline_e2e_sensitivity"] = round(sens, 4)
+        extras["germline_e2e_extra_calls"] = extra_calls
+    except Exception as e:
+        print(f"# germline extra failed: {e!r}", file=sys.stderr)
 
     print(json.dumps({
         "metric": "pairhmm_forward_gcups",
