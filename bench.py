@@ -216,6 +216,38 @@ def bench_align(rng):
     return n / best, mapped
 
 
+def bench_longread(rng):
+    """Steady-state long-read alignment throughput (Mbp/s): 32 × 10 kb
+    reads at 5% ONT-class error against a 1 Mb reference (the in-repo
+    replacement for the reference's minimap-flow engine,
+    Minimap2Worker.cpp:51-106)."""
+    from falcon_genome_tpu.aligner import IndexParams, MinimizerIndex
+    from falcon_genome_tpu.longread import LongReadAligner, LongReadParams
+
+    G, n_reads, read_len = 1_000_000, 32, 10_000
+    genome = rng.integers(0, 4, G).astype(np.uint8)
+    lp = LongReadParams(index=IndexParams(k=19, w=10, max_hits=256))
+    eng = LongReadAligner(MinimizerIndex([("chr1", genome)], lp.index), lp)
+    reads = []
+    for _ in range(n_reads):
+        p = int(rng.integers(0, G - read_len))
+        r = genome[p:p + read_len].copy()
+        err = rng.random(read_len) < 0.05
+        sub = rng.random(read_len) < 0.6
+        r[err & sub] = (r[err & sub] + 1) % 4
+        reads.append(r[~(err & ~sub)])
+    eng.align_batch(reads)                 # compile all shapes
+    bp = sum(len(r) for r in reads)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        res = eng.align_batch(reads)
+        best = min(best, time.perf_counter() - t0)
+    if sum(a.mapped for a in res) < n_reads * 0.9:
+        raise RuntimeError("longread mapped fraction below 0.9")
+    return bp / best / 1e6
+
+
 def bench_germline_e2e(rng):
     """Full align→markdup→htc chain (the product, not a kernel): a
     60 kb / ~10.8k-read paired-end sim through the same stage functions
@@ -316,6 +348,10 @@ def main() -> None:
         extras["pairhmm_mfu"] = round(pairhmm_mfu(gcups, vpu), 3)
     except Exception as e:
         print(f"# roofline extra failed: {e!r}", file=sys.stderr)
+    try:
+        extras["longread_mbp_per_s"] = round(bench_longread(rng), 3)
+    except Exception as e:
+        print(f"# longread extra failed: {e!r}", file=sys.stderr)
     try:
         rps, sens, extra_calls = bench_germline_e2e(
             np.random.default_rng(11))

@@ -33,6 +33,41 @@ def peak_rss_gb() -> float:
     return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
 
 
+class RssSampler:
+    """Per-stage peak RSS by sampling /proc/self/status VmRSS.
+
+    ru_maxrss is a process-lifetime max: any stage after a spike would
+    inherit the spike's number.  VmRSS is current residency, so its max
+    over the stage window attributes memory to the stage that used it.
+    """
+
+    def __init__(self, period: float = 0.25):
+        import threading
+        self.peak = 0.0
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._run, args=(period,),
+                                        daemon=True)
+        self._thread.start()
+
+    def _run(self, period: float) -> None:
+        while not self._stop.is_set():
+            try:
+                with open("/proc/self/status") as f:
+                    for line in f:
+                        if line.startswith("VmRSS:"):
+                            kb = float(line.split()[1])
+                            self.peak = max(self.peak, kb / 1e6)
+                            break
+            except OSError:
+                pass
+            self._stop.wait(period)
+
+    def stop(self) -> float:
+        self._stop.set()
+        self._thread.join()
+        return self.peak
+
+
 def gen_dataset(work: Path) -> dict:
     from falcon_genome_tpu.io.dna import decode_seq, revcomp_codes
     from falcon_genome_tpu.io.fasta import write_fasta
@@ -108,15 +143,16 @@ def main() -> None:
     conf.set("log_dir", str(work / "log"))
 
     def record(name, fn):
-        r0 = peak_rss_gb()
+        sampler = RssSampler()
         t0 = time.perf_counter()
         fn()
         dt = time.perf_counter() - t0
+        peak = sampler.stop()
         results[name] = {"wall_s": round(dt, 1),
-                         "peak_rss_gb": round(peak_rss_gb(), 2)}
+                         "peak_rss_gb": round(peak, 2)}
         results_path.write_text(json.dumps(results, indent=1))
-        print(f"== {name}: {dt:.0f}s (rss {r0:.1f} -> "
-              f"{peak_rss_gb():.1f} GB)")
+        print(f"== {name}: {dt:.0f}s (stage peak rss {peak:.1f} GB, "
+              f"process max {peak_rss_gb():.1f} GB)")
 
     bam = str(work / "aligned.bam")
     bucket_dir = str(work / "aligned")      # part-%06d bucket tree

@@ -172,9 +172,10 @@ def build_option_table() -> dict[str, Option]:
           "FASTQ inputs above this spill aligned records to per-bucket "
           "temp files (bounded memory; the reference's temp-dir bucket "
           "tree, BWAWorker.cpp:134-147)"),
-        O("tpu.bam.stream_mb", int, 256,
-          "BAMs larger than this stream per-shard via .bai instead of "
-          "loading whole"),
+        O("tpu.bam.stream_mb", int, 64,
+          "BAMs larger than this (compressed bytes) stream per-shard via "
+          ".bai instead of loading whole; BGZF compresses BAM records "
+          "~10-20x, so 64 MB compressed is already ~1 GB of columns"),
         O("tpu.bucket.read_len", int, 160, "read length bucket (pad-to)"),
         O("tpu.bucket.hap_len", int, 512, "haplotype length bucket (pad-to)"),
         O("tpu.pairhmm.dtype", str, "float32", "PairHMM accumulation dtype"),

@@ -487,7 +487,9 @@ def pairhmm_logp(read_codes, base_q, ins_q, del_q, gcp, read_lens,
             x = x.astype(np.uint8)
         out = np.full((Bp, rows), fill, dtype=np.uint8)
         out[:B, :x.shape[1]] = x
-        return out.T  # time-major
+        # time-major AND contiguous: the tunnel moves strided host
+        # arrays ~3.5x slower than flat ones
+        return np.ascontiguousarray(out.T)
 
     def qplane(x, rows):
         # scalar qual plane (constant indel/gcp quals) → a (1, 1) array

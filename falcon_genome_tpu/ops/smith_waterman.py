@@ -287,6 +287,27 @@ def _sw_jax(read, rlen, win, wlen, *, params: SWParams, R: int, W: int):
                          params=params, R=R, W=W)
 
 
+@functools.partial(jax.jit, static_argnames=("params", "bucket", "R", "W"))
+def _sw_device_fused(blob, *, params: SWParams, bucket: SWBucket,
+                     R: int, W: int):
+    """Single-transfer entry: one uint8 blob [reads; windows; len bytes].
+
+    Each host→device buffer on the remote-tunnel transport costs ~30 ms
+    of fixed latency; fusing the four inputs into one buffer makes a
+    batched-SW call ONE transfer instead of four.  Rows R+W..R+W+3 carry
+    read/window lengths as little-endian byte pairs (lengths < 65536).
+    """
+    read = blob[:R].astype(jnp.int32)
+    win = blob[R:R + W].astype(jnp.int32)
+    lens = blob[R + W:R + W + 4].astype(jnp.int32)
+    rlen = (lens[0] | (lens[1] << 8))[None, :]
+    wlen = (lens[2] | (lens[3] << 8))[None, :]
+    if bucket.backend == "jax":
+        return _sw_scan_core(read, rlen, win, wlen, params=params, R=R, W=W)
+    return _sw_pallas_full(read, rlen, win, wlen, params,
+                           interpret=bucket.backend == "interpret")
+
+
 def _sw_scan_core(read, rlen, win, wlen, *, params: SWParams, R: int, W: int):
     """Portable lax.scan version with identical semantics."""
     i32 = jnp.int32
@@ -441,10 +462,8 @@ def _sw_gather_full(reads8, meta, genome, *, params: SWParams,
         ptrs, best, bestpos = _sw_pallas_full(
             read, rlen, win, wlen, params,
             interpret=bucket.backend == "interpret")
-    packed, coords = _traceback_core(
-        ptrs, best[0], bestpos[0], max_steps=max_steps)
-    return packed, jnp.concatenate(
-        [coords, best.astype(jnp.int32)], axis=0)       # coords+score (5, B)
+    # one fused uint8 buffer: op stream + coords + scores (one d2h)
+    return _traceback_core(ptrs, best[0], bestpos[0], max_steps=max_steps)
 
 
 def _pack_meta(read_idx, is_rev, read_lens, win_starts, win_lens,
@@ -515,13 +534,15 @@ def sw_extend_gather(reads8_dev, read_idx, is_rev, read_lens, genome_dev,
     need = int(np.max(meta_np[_META_RLEN]) + np.max(meta_np[_META_WLEN])) + 8
     max_steps = min(bucket.max_read_len + bucket.max_win_len,
                     _round_up(need, 128))
-    packed, coords5 = _sw_gather_full(
+    fused = np.asarray(_sw_gather_full(
         reads8_dev, jnp.asarray(meta_np), genome_dev,
-        params=params, bucket=bucket, max_steps=max_steps)
-    coords5 = np.asarray(coords5)
-    return _results_from_packed(
-        np.asarray(packed)[:, :B], max_steps, coords5[:4, :B],
-        coords5[4, :B], np.asarray(read_lens))
+        params=params, bucket=bucket, max_steps=max_steps))
+    packed_h, coords_h, best_h = _decode_traceback(fused, max_steps, B)
+    return _results_from_packed(packed_h, max_steps, coords_h, best_h,
+                                np.asarray(read_lens))
+
+
+def traceback(ptr, score, pos, read_len: int, lane: int) -> "SWResult":
     """Host traceback over the diagonal-major pointer array.
 
     ptr: (D, R, B) int8; cell (i, j) 1-based lives at ptr[i+j-1, i-1, lane].
@@ -626,10 +647,32 @@ def _traceback_core(ptrs, best, bestpos, *, max_steps: int):
     ops2 = ops2.reshape(S4 // 4, 4, B)
     packed = (ops2[:, 0] | (ops2[:, 1] << 2) | (ops2[:, 2] << 4)
               | (ops2[:, 3] << 6))
-    # path coordinates ride back in ONE (4, B) array (each d2h pays ~ms of
-    # tunnel latency): rows = read_start, ref_start, read_end, ref_end
+    # everything rides back in ONE uint8 array (each d2h buffer pays
+    # ~30 ms of tunnel latency): op stream, then path coordinates
+    # (read_start, ref_start, read_end, ref_end) as LE byte pairs, then
+    # the best score as 4 LE bytes
     coords = jnp.stack([i_f, j_f, bi, bj]).astype(jnp.int32)
-    return packed, coords
+    clo = (coords & 0xFF).astype(jnp.uint8)
+    chi = ((coords >> 8) & 0xFF).astype(jnp.uint8)
+    cbytes = jnp.concatenate([clo, chi], axis=0)      # (8, B)
+    b32 = best.astype(jnp.int32)
+    bbytes = jnp.stack([b32 & 0xFF, (b32 >> 8) & 0xFF,
+                        (b32 >> 16) & 0xFF,
+                        (b32 >> 24) & 0xFF]).astype(jnp.uint8)
+    return jnp.concatenate([packed, cbytes, bbytes], axis=0)
+
+
+def _decode_traceback(fused_h: np.ndarray, max_steps: int, B: int
+                      ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Split the fused traceback buffer (host copy) back into the packed
+    op stream, (4, B) path coordinates, and per-lane best scores."""
+    S4r = ((max_steps + 3) // 4 * 4) // 4
+    packed_h = fused_h[:S4r, :B]
+    cb = fused_h[S4r:S4r + 8, :B].astype(np.int32)
+    coords_h = cb[:4] | (cb[4:] << 8)
+    bb = fused_h[S4r + 8:S4r + 12, :B].astype(np.int32)
+    best_h = bb[0] | (bb[1] << 8) | (bb[2] << 16) | (bb[3] << 24)
+    return packed_h, coords_h, best_h
 
 
 def _results_from_packed(packed: np.ndarray, max_steps: int,
@@ -732,34 +775,33 @@ def sw_extend_batch(reads: np.ndarray, read_lens: np.ndarray,
     while Bp < B:
         Bp *= 2
 
-    def pad_t(x, rows, fill):
-        out = np.full((Bp, rows), fill, dtype=np.int8)
-        out[:B, :x.shape[1]] = x
-        return out.T
+    # one fused, contiguous uint8 blob = ONE host→device transfer (the
+    # tunnel charges ~30 ms fixed latency PER buffer, and moves strided
+    # arrays ~3.5x slower than flat ones)
+    blob = np.empty((R + W + 4, Bp), np.uint8)
+    blob[:R] = 4
+    blob[:reads.shape[1], :B] = reads.T
+    blob[R:R + W] = 5                      # 5 ≠ any base code: no match
+    blob[R:R + windows.shape[1], :B] = windows.T
+    blob[R + W:] = 0
+    rl32 = np.asarray(read_lens, np.int32)
+    wl32 = np.asarray(win_lens, np.int32)
+    blob[R + W, :B] = rl32 & 0xFF
+    blob[R + W + 1, :B] = rl32 >> 8
+    blob[R + W + 2, :B] = wl32 & 0xFF
+    blob[R + W + 3, :B] = wl32 >> 8
 
-    read_t = jnp.asarray(pad_t(reads, R, 4))
-    win_t = jnp.asarray(pad_t(windows, W, 5))  # 5 ≠ any base code: no match
-    rlen_t = np.zeros((1, Bp), np.int32)
-    rlen_t[0, :B] = read_lens
-    wlen_t = np.zeros((1, Bp), np.int32)
-    wlen_t[0, :B] = win_lens
-
-    if bucket.backend == "jax":
-        ptrs, best, bestpos = _sw_jax(
-            read_t, jnp.asarray(rlen_t), win_t, jnp.asarray(wlen_t),
-            params=params, R=R, W=W)
-    else:
-        ptrs, best, bestpos = _sw_device(
-            read_t, jnp.asarray(rlen_t), win_t, jnp.asarray(wlen_t),
-            params=params, bucket=bucket)
+    ptrs, best, bestpos = _sw_device_fused(
+        jnp.asarray(blob), params=params, bucket=bucket, R=R, W=W)
 
     if bucket.backend != "interpret":
-        # device traceback: the (D, R, B) pointer array stays in HBM
-        packed, coords = _traceback_device(
-            ptrs, best[0], bestpos[0], max_steps=R + W)
+        # device traceback: the (D, R, B) pointer array stays in HBM and
+        # the op stream + coords + scores come back as ONE d2h buffer
+        fused = np.asarray(_traceback_device(
+            ptrs, best[0], bestpos[0], max_steps=R + W))
+        packed_h, coords_h, best_h = _decode_traceback(fused, R + W, B)
         return _results_from_packed(
-            np.asarray(packed)[:, :B], R + W, np.asarray(coords)[:, :B],
-            np.asarray(best)[0, :B], np.asarray(read_lens))
+            packed_h, R + W, coords_h, best_h, np.asarray(read_lens))
 
     # interpret mode: host traceback paths (native C++ or python), which
     # are also the correctness references for the device walker

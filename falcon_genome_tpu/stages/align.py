@@ -21,6 +21,7 @@ one batch + one bucket, not the whole sample.
 from __future__ import annotations
 
 import logging
+import os
 import shutil
 import tempfile
 from pathlib import Path
@@ -70,6 +71,8 @@ class AlignSink:
         self.parts: list[RecordColumns] = []
         self.n_records = 0
         if self.spill:
+            if temp_dir:
+                os.makedirs(temp_dir, exist_ok=True)
             self.dir = Path(tempfile.mkdtemp(prefix="align-buckets-",
                                              dir=temp_dir or None))
             self.files = [None] * self.nb
