@@ -461,32 +461,6 @@ def apply_bqsr_columns(cols, model: "RecalModel",
     return cols
 
 
-# ---------------------------------------------------------------------------
-# device histogram (the hot reduction; shard-parallel, merged by +/psum)
-# ---------------------------------------------------------------------------
-
-@functools.partial(jax.jit, static_argnames=("nrg",))
-def _histogram_device(rg, qual, cycle, context, is_error, weight, *, nrg):
-    ones = weight
-    qual_flat = rg * MAX_QUAL + qual
-    qual_obs = jnp.zeros(nrg * MAX_QUAL).at[qual_flat].add(ones)
-    qual_err = jnp.zeros(nrg * MAX_QUAL).at[qual_flat].add(ones * is_error)
-    cyc_flat = qual_flat * MAX_CYCLE + cycle
-    cycle_obs = jnp.zeros(nrg * MAX_QUAL * MAX_CYCLE).at[cyc_flat].add(ones)
-    cycle_err = jnp.zeros(nrg * MAX_QUAL * MAX_CYCLE).at[cyc_flat].add(
-        ones * is_error)
-    ctx_flat = qual_flat * N_CONTEXT + context
-    ctx_obs = jnp.zeros(nrg * MAX_QUAL * N_CONTEXT).at[ctx_flat].add(ones)
-    ctx_err = jnp.zeros(nrg * MAX_QUAL * N_CONTEXT).at[ctx_flat].add(
-        ones * is_error)
-    return (qual_obs.reshape(nrg, MAX_QUAL),
-            qual_err.reshape(nrg, MAX_QUAL),
-            cycle_obs.reshape(nrg, MAX_QUAL, MAX_CYCLE),
-            cycle_err.reshape(nrg, MAX_QUAL, MAX_CYCLE),
-            ctx_obs.reshape(nrg, MAX_QUAL, N_CONTEXT),
-            ctx_err.reshape(nrg, MAX_QUAL, N_CONTEXT))
-
-
 def accumulate_table(cov: dict[str, np.ndarray],
                      read_groups: list[str]) -> RecalTable:
     """Scatter-add the covariate arrays into a RecalTable on device.
@@ -532,22 +506,35 @@ def accumulate_table(cov: dict[str, np.ndarray],
                           cyc_obs, cyc_err,
                           np.asarray(ctx_obs, np.float64),
                           np.asarray(ctx_err, np.float64))
-    npad = max(1024, 1 << (n - 1).bit_length())
+    # single device: the histogram is a pure reduction whose inputs are
+    # ~24 B/base — at WGS-shard scale that is >1 GB per shard over a
+    # ~30 MB/s host→device tunnel, dwarfing the scatter-add itself.
+    # np.bincount on host is exact (integer counts, f64 error sums) and
+    # ships nothing; the device scatter-add + psum path above remains
+    # the data plane whenever a multi-chip mesh is active (ICI, not the
+    # host wire, carries the reduction there).
+    rg = cov["rg"].astype(np.int64)
+    qual = cov["qual"].astype(np.int64)
+    err = cov["is_error"].astype(np.float64)
+    qf = rg * MAX_QUAL + qual
 
-    def pad1(a, dtype):
-        out = np.zeros(npad, dtype)
-        out[:n] = a
-        return jnp.asarray(out)
+    def hist(key, size):
+        obs = np.bincount(key, minlength=size).astype(np.float64)
+        e = np.bincount(key, weights=err, minlength=size)
+        return obs, e
 
-    weight = np.zeros(npad, np.float32)
-    weight[:n] = 1.0
-    out = _histogram_device(
-        pad1(cov["rg"], np.int32), pad1(cov["qual"], np.int32),
-        pad1(cov["cycle"], np.int32), pad1(cov["context"], np.int32),
-        pad1(cov["is_error"], np.float32),
-        jnp.asarray(weight), nrg=nrg)
-    return RecalTable(read_groups or ["default"],
-                      *(np.asarray(a, np.float64) for a in out))
+    qual_obs, qual_err = hist(qf, nrg * MAX_QUAL)
+    cyc_obs, cyc_err = hist(qf * MAX_CYCLE + cov["cycle"],
+                            nrg * MAX_QUAL * MAX_CYCLE)
+    ctx_obs, ctx_err = hist(qf * N_CONTEXT + cov["context"],
+                            nrg * MAX_QUAL * N_CONTEXT)
+    return RecalTable(
+        read_groups or ["default"],
+        qual_obs.reshape(nrg, MAX_QUAL), qual_err.reshape(nrg, MAX_QUAL),
+        cyc_obs.reshape(nrg, MAX_QUAL, MAX_CYCLE),
+        cyc_err.reshape(nrg, MAX_QUAL, MAX_CYCLE),
+        ctx_obs.reshape(nrg, MAX_QUAL, N_CONTEXT),
+        ctx_err.reshape(nrg, MAX_QUAL, N_CONTEXT))
 
 
 # ---------------------------------------------------------------------------

@@ -556,21 +556,23 @@ def read_bam_region_columns(path: str | Path,
             keep = ((cols.fixed[:, F_TID] == tid)
                     & (cols.fixed[:, F_POS] < end)
                     & (cols.fixed[:, F_ENDPOS] > beg))
-            if keep.any():
+            if keep.all():
+                parts.append(cols)       # interior chunk: no gather
+            elif keep.any():
                 parts.append(cols.take(np.flatnonzero(keep)))
     if not parts:
         return header, RecordColumns.from_records([])
     cols = RecordColumns.concat(parts)
-    # dedup (qname-hash, flag, pos) across overlapping chunks, keep
-    # coordinate order — mirrors read_bam_region's seen-set
+    # dedup (qname-hash, flag, pos) across overlapping chunks + restore
+    # coordinate order, composed into ONE gather (a take() rewrites
+    # every varlen blob — the shard-read hot path wants exactly one)
     key = np.stack([cols.name_hashes().astype(np.int64),
                     cols.fixed[:, F_FLAG].astype(np.int64),
                     cols.fixed[:, F_POS].astype(np.int64)], axis=1)
     _, uniq_idx = np.unique(key, axis=0, return_index=True)
     keep = np.sort(uniq_idx)
-    cols = cols.take(keep)
-    order = np.lexsort((cols.fixed[:, F_POS], cols.fixed[:, F_TID]))
-    return header, cols.take(order)
+    order = np.lexsort((cols.fixed[keep, F_POS], cols.fixed[keep, F_TID]))
+    return header, cols.take(keep[order])
 
 
 def read_bam_coords(path: str | Path) -> np.ndarray:

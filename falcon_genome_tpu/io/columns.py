@@ -258,6 +258,11 @@ class RecordColumns:
             total = int(lens.sum())
             if total == 0:
                 return np.zeros(0, blob.dtype), new_off
+            from . import native_ext
+            nat = native_ext.gather_var(blob, offs[idx], lens, new_off,
+                                        total)
+            if nat is not None:
+                return nat, new_off
             src = (np.repeat(offs[idx], lens)
                    + (np.arange(total) - np.repeat(new_off, lens)))
             return blob[src], new_off

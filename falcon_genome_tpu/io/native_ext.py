@@ -89,6 +89,10 @@ def load() -> ctypes.CDLL | None:
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+        lib.fg_gather_var.restype = None
+        lib.fg_gather_var.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
         lib.fg_chain_anchors.restype = ctypes.c_int64
         lib.fg_chain_anchors.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
@@ -124,6 +128,26 @@ def bgzf_compress(data: bytes, level: int = 6) -> bytes | None:
     if out < 0:
         return None
     return dst[:out].tobytes()
+
+
+def gather_var(blob: np.ndarray, offs: np.ndarray, lens: np.ndarray,
+               out_off: np.ndarray, total: int):
+    """Varlen gather ``out[i] = blob[offs[i]:offs[i]+lens[i]]`` in one
+    memcpy loop (byte offsets/lengths; any element dtype — caller scales
+    by itemsize).  Returns the gathered blob or None without the ext."""
+    lib = load()
+    if lib is None:
+        return None
+    blob = np.ascontiguousarray(blob)
+    esz = blob.dtype.itemsize
+    offs = np.ascontiguousarray(offs, np.int64) * esz
+    lens_b = np.ascontiguousarray(lens, np.int64) * esz
+    out_b = np.ascontiguousarray(out_off, np.int64) * esz
+    out = np.empty(total, blob.dtype)
+    lib.fg_gather_var(blob.ctypes.data, offs.ctypes.data,
+                      lens_b.ctypes.data, out_b.ctypes.data,
+                      len(offs), out.ctypes.data)
+    return out
 
 
 def minimizers(codes: np.ndarray, k: int, w: int):

@@ -210,54 +210,72 @@ def _hap_to_ref_events_multi(items: list[tuple[list[np.ndarray],
 
 
 def _likelihoods_multi(staged: list[dict], gcp: int) -> list[np.ndarray]:
-    """Batched PairHMM across regions: one kernel batch for every
-    (region, read, hap) pair; returns per-region floored matrices."""
-    spans = []
-    total = 0
+    """Batched PairHMM across regions via the pair-indexed dispatch:
+    unique reads/haps ship once per chunk and the (read ⊗ hap) cross
+    products expand on device (ops/pairhmm.pairhmm_logp_pairs) —
+    returns per-region floored matrices."""
+    from ..ops.pairhmm import pairhmm_logp_pairs
+
     maxrl, maxhl = 8, 8
     for s in staged:
-        n_r = len(s["reads"])
-        n_h = len(s["haps"])
-        spans.append((total, n_r, n_h))
-        total += n_r * n_h
         maxrl = max(maxrl, max((len(c) for c, _ in s["clipped"]),
                                default=8))
         maxhl = max(maxhl, max(len(h) for h in s["haps"]))
+    params = _default_pairhmm_params(maxrl, maxhl)
 
-    codes = np.full((total, maxrl), 4, np.uint8)
-    quals = np.zeros((total, maxrl), np.uint8)
-    rlens = np.ones(total, np.int32)
-    hcodes = np.full((total, maxhl), 4, np.uint8)
-    hlens = np.ones(total, np.int32)
-    for s, (off, n_r, n_h) in zip(staged, spans):
-        # pair rows are (read ⊗ hap): fill per-region read/hap matrices
-        # once, then repeat/tile — O(n_r + n_h) Python instead of
-        # O(n_r × n_h) per-pair slicing (a WGS-shard host hot loop)
-        rmat = np.full((n_r, maxrl), 4, np.uint8)
-        qmat = np.zeros((n_r, maxrl), np.uint8)
-        rlv = np.ones(n_r, np.int32)
-        for ri, (rc, q) in enumerate(s["clipped"]):
-            rmat[ri, :len(rc)] = rc
-            qmat[ri, :len(q)] = q
-            rlv[ri] = max(len(rc), 1)
-        hmat = np.full((n_h, maxhl), 4, np.uint8)
-        hlv = np.ones(n_h, np.int32)
-        for hi, h in enumerate(s["haps"]):
-            hmat[hi, :len(h)] = h
-            hlv[hi] = len(h)
-        end = off + n_r * n_h
-        codes[off:end] = np.repeat(rmat, n_h, axis=0)
-        quals[off:end] = np.repeat(qmat, n_h, axis=0)
-        rlens[off:end] = np.repeat(rlv, n_h)
-        hcodes[off:end] = np.tile(hmat, (n_r, 1))
-        hlens[off:end] = np.tile(hlv, n_r)
-    logp = np.asarray(pairhmm_logp(
-        codes, quals, 45, 45, gcp, rlens, hcodes, hlens,
-        params=_default_pairhmm_params(maxrl, maxhl)))
-    out = []
-    for (off, n_r, n_h) in spans:
-        out.append(normalize_read_likelihoods(
-            logp[off:off + n_r * n_h].reshape(n_r, n_h)))
+    MAX_PAIRS = 8192
+    out: list[np.ndarray] = [None] * len(staged)
+    ci = 0
+    while ci < len(staged):
+        # greedily group regions until the chunk reaches the lane cap
+        cj = ci
+        pairs = 0
+        while cj < len(staged):
+            p = len(staged[cj]["reads"]) * len(staged[cj]["haps"])
+            if cj > ci and pairs + p > MAX_PAIRS:
+                break
+            pairs += p
+            cj += 1
+        chunk = staged[ci:cj]
+
+        n_reads = sum(len(s["clipped"]) for s in chunk)
+        n_haps = sum(len(s["haps"]) for s in chunk)
+        rtab = np.full((n_reads, maxrl), 4, np.uint8)
+        qtab = np.zeros((n_reads, maxrl), np.uint8)
+        rlv = np.ones(n_reads, np.int32)
+        htab = np.full((n_haps, maxhl), 4, np.uint8)
+        hlv = np.ones(n_haps, np.int32)
+        pr_parts, ph_parts, spans = [], [], []
+        roff = hoff = poff = 0
+        for s in chunk:
+            n_r, n_h = len(s["clipped"]), len(s["haps"])
+            for ri, (rc, q) in enumerate(s["clipped"]):
+                rtab[roff + ri, :len(rc)] = rc
+                qtab[roff + ri, :len(q)] = q
+                rlv[roff + ri] = max(len(rc), 1)
+            for hi, h in enumerate(s["haps"]):
+                htab[hoff + hi, :len(h)] = h
+                hlv[hoff + hi] = len(h)
+            pr_parts.append(np.repeat(np.arange(roff, roff + n_r), n_h))
+            ph_parts.append(np.tile(np.arange(hoff, hoff + n_h), n_r))
+            spans.append((poff, n_r, n_h))
+            roff += n_r
+            hoff += n_h
+            poff += n_r * n_h
+        pr = np.concatenate(pr_parts)
+        ph = np.concatenate(ph_parts)
+        logp_parts = [
+            pairhmm_logp_pairs(rtab, qtab, rlv, htab, hlv,
+                               pr[s0:s0 + MAX_PAIRS],
+                               ph[s0:s0 + MAX_PAIRS],
+                               45, 45, gcp, params=params)
+            for s0 in range(0, len(pr), MAX_PAIRS)]
+        logp = (np.concatenate(logp_parts) if len(logp_parts) > 1
+                else logp_parts[0])
+        for s, (off, n_r, n_h) in zip(chunk, spans):
+            out[ci] = normalize_read_likelihoods(
+                logp[off:off + n_r * n_h].reshape(n_r, n_h))
+            ci += 1
     return out
 
 

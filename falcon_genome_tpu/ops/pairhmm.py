@@ -405,6 +405,69 @@ def _local_pairhmm(read_t, baseq_t, insq_t, delq_t, gcp_t, rlen_t, hlen_t,
     return logp
 
 
+def _pairhmm_unpack(blob, R: int, H: int, flags: tuple[bool, ...],
+                    scalars: tuple[int, ...]):
+    """Split the fused uint8 input blob into the 8 kernel args.
+
+    Layout (rows): R read codes, H hap codes, one R-row phred plane per
+    flags[i]=True member of (base_q, ins_q, del_q, gcp) — scalars ride
+    as compile-time constants instead — then 4 rows of LE length bytes.
+    """
+    off = 0
+    read = blob[off:off + R]
+    off += R
+    hap = blob[off:off + H]
+    off += H
+    qs = []
+    for f, s in zip(flags, scalars):
+        if f:
+            qs.append(blob[off:off + R])
+            off += R
+        else:
+            qs.append(jnp.full((1, 1), s, jnp.uint8))
+    lens = blob[off:off + 4].astype(jnp.int32)
+    rlen = (lens[0] | (lens[1] << 8))[None, :]
+    hlen = (lens[2] | (lens[3] << 8))[None, :]
+    return read, qs[0], qs[1], qs[2], qs[3], rlen, hlen, hap
+
+
+@functools.partial(jax.jit, static_argnames=("params", "R", "H", "flags",
+                                             "scalars"))
+def _pairhmm_fused(blob, *, params: PairHMMParams, R: int, H: int,
+                   flags: tuple[bool, ...], scalars: tuple[int, ...]):
+    """Single-transfer device entry: each host→device buffer pays ~30 ms
+    of fixed tunnel latency, so the whole batch ships as ONE uint8 blob."""
+    read, baseq, insq, delq, gcpq, rlen, hlen, hap = _pairhmm_unpack(
+        blob, R, H, flags, scalars)
+    return _local_pairhmm(read, baseq, insq, delq, gcpq, rlen, hlen, hap,
+                          R=R, H=H, params=params)
+
+
+def _pairhmm_sharded_fused(mesh, params: PairHMMParams, R: int, H: int,
+                           flags: tuple[bool, ...],
+                           scalars: tuple[int, ...]):
+    """Fused-blob variant of the shard_map dispatch: the blob shards over
+    lanes (axis 1) on every mesh axis; scalar quals are compile-time."""
+    key = ("fused", mesh, params, R, H, flags, scalars)
+    fn = _SHARDED_CACHE.get(key)
+    if fn is not None:
+        return fn
+    from jax.sharding import PartitionSpec as P
+    axes = tuple(mesh.axis_names)
+
+    def local(blob):
+        read, baseq, insq, delq, gcpq, rlen, hlen, hap = _pairhmm_unpack(
+            blob, R, H, flags, scalars)
+        return _local_pairhmm(read, baseq, insq, delq, gcpq, rlen, hlen,
+                              hap, R=R, H=H, params=params)
+
+    fn = jax.jit(jax.shard_map(
+        local, mesh=mesh, in_specs=(P(None, axes),), out_specs=P(axes),
+        check_vma=False))
+    _SHARDED_CACHE[key] = fn
+    return fn
+
+
 def _pairhmm_sharded(mesh, params: PairHMMParams, R: int, H: int,
                      replicated: tuple[bool, ...] = (False,) * 8):
     """Jit the local kernel under shard_map; batch lanes shard over the
@@ -479,55 +542,182 @@ def pairhmm_logp(read_codes, base_q, ins_q, del_q, gcp, read_lens,
     while Bp < B:
         Bp *= 2
 
-    def pad2(x, rows, fill=0):
-        # codes and phreds all fit uint8: ship 1/4 the bytes over the
-        # host→device wire; the int32/f32 expansion happens inside the jit
+    # fused single-transfer input blob (see _pairhmm_unpack for layout):
+    # codes and phreds ship as uint8 (1/4 the bytes of int32), scalar
+    # indel/gcp quals ride as compile-time constants, and everything
+    # crosses the wire in ONE contiguous buffer (each buffer pays ~30 ms
+    # of fixed tunnel latency; strided arrays move ~3.5x slower)
+    def is_scalar(x):
+        return np.isscalar(x) or (isinstance(x, np.ndarray) and x.ndim == 0)
+
+    quals = (base_q, ins_q, del_q, gcp)
+    flags = tuple(not is_scalar(x) for x in quals)
+    scalars = tuple(0 if f else int(x) for f, x in zip(flags, quals))
+    rows = R + H + 4 + sum(flags) * R
+    blob = np.empty((rows, Bp), np.uint8)
+
+    def fill(off, x, nrows, fill_val):
         x = np.asarray(x)
         if x.dtype != np.uint8:
             x = x.astype(np.uint8)
-        out = np.full((Bp, rows), fill, dtype=np.uint8)
-        out[:B, :x.shape[1]] = x
-        # time-major AND contiguous: the tunnel moves strided host
-        # arrays ~3.5x slower than flat ones
-        return np.ascontiguousarray(out.T)
+        blob[off:off + nrows] = fill_val
+        blob[off:off + x.shape[1], :B] = x.T
+        return off + nrows
 
-    def qplane(x, rows):
-        # scalar qual plane (constant indel/gcp quals) → a (1, 1) array
-        # broadcast on device: nothing but 1 byte crosses the wire
-        if np.isscalar(x) or (isinstance(x, np.ndarray) and x.ndim == 0):
-            return np.full((1, 1), int(x), np.uint8)
-        return pad2(np.asarray(x), rows)
+    off = fill(0, read_codes, R, 4)
+    off = fill(off, hap_codes, H, 4)
+    for f, x in zip(flags, quals):
+        if f:
+            off = fill(off, x, R, 0)
+    blob[off:] = 0
+    rl32 = np.asarray(read_lens, np.int32)
+    hl32 = np.asarray(hap_lens, np.int32)
+    blob[off, :B] = rl32 & 0xFF
+    blob[off + 1, :B] = rl32 >> 8
+    blob[off + 2, :B] = hl32 & 0xFF
+    blob[off + 3, :B] = hl32 >> 8
+    # padded lanes: length 1 keeps the kernel's masks well-defined
+    blob[off, B:] = 1
+    blob[off + 2, B:] = 1
 
-    read_t = pad2(read_codes, R, 4)
-    hap_t = pad2(hap_codes, H, 4)
-    baseq_t = jnp.asarray(qplane(base_q, R))
-    insq_t = jnp.asarray(qplane(ins_q, R))
-    delq_t = jnp.asarray(qplane(del_q, R))
-    gcp_t = jnp.asarray(qplane(gcp, R))
-
-    def pad1(x, fill):
-        out = np.full((Bp,), fill, dtype=np.int32)
-        out[:B] = np.asarray(x, dtype=np.int32)
-        return out.reshape(1, Bp)
-
-    rlen_t = pad1(read_lens, 1)
-    hlen_t = pad1(hap_lens, 1)
-
+    blob_d = jnp.asarray(blob)
     if mesh is not None:
-        repl = (False, baseq_t.shape == (1, 1), insq_t.shape == (1, 1),
-                delq_t.shape == (1, 1), gcp_t.shape == (1, 1),
-                False, False, False)
-        logp = _pairhmm_sharded(mesh, params, R, H, repl)(
-            jnp.asarray(read_t), baseq_t, insq_t, delq_t, gcp_t,
-            jnp.asarray(rlen_t), jnp.asarray(hlen_t), jnp.asarray(hap_t))
-    elif params.backend == "jax":
-        logp = _pairhmm_jax(
-            jnp.asarray(read_t), baseq_t, insq_t, delq_t, gcp_t,
-            jnp.asarray(rlen_t), jnp.asarray(hlen_t), jnp.asarray(hap_t),
-            R=R, H=H)
+        logp = _pairhmm_sharded_fused(mesh, params, R, H, flags,
+                                      scalars)(blob_d)
     else:
-        logp, _ = _pairhmm_device(
-            jnp.asarray(read_t), baseq_t, insq_t, delq_t, gcp_t,
-            jnp.asarray(rlen_t), jnp.asarray(hap_t), jnp.asarray(hlen_t),
-            params=params)
+        logp = _pairhmm_fused(blob_d, params=params, R=R, H=H,
+                              flags=flags, scalars=scalars)
     return logp[:B]
+
+
+# ---------------------------------------------------------------------------
+# pair-indexed dispatch: unique reads/haps ship once, pairs expand on device
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=(
+    "params", "R", "H", "NRp", "NHp", "Bp", "scalars"))
+def _pairhmm_pairs_fused(blob, *, params: PairHMMParams, R: int, H: int,
+                         NRp: int, NHp: int, Bp: int,
+                         scalars: tuple[int, int, int]):
+    """Unpack the pair-indexed blob (see pairhmm_logp_pairs), gather the
+    (R, Bp)/(H, Bp) pair tiles on device, and run the kernel."""
+    flat = blob.reshape(-1)
+    o = 0
+    read_tab = flat[o:o + NRp * R].reshape(NRp, R)
+    o += NRp * R
+    qual_tab = flat[o:o + NRp * R].reshape(NRp, R)
+    o += NRp * R
+    hap_tab = flat[o:o + NHp * H].reshape(NHp, H)
+    o += NHp * H
+    rlen_tab = (flat[o:o + NRp].astype(jnp.int32)
+                | (flat[o + NRp:o + 2 * NRp].astype(jnp.int32) << 8))
+    o += 2 * NRp
+    hlen_tab = (flat[o:o + NHp].astype(jnp.int32)
+                | (flat[o + NHp:o + 2 * NHp].astype(jnp.int32) << 8))
+    o += 2 * NHp
+    pr = (flat[o:o + Bp].astype(jnp.int32)
+          | (flat[o + Bp:o + 2 * Bp].astype(jnp.int32) << 8))
+    o += 2 * Bp
+    ph = (flat[o:o + Bp].astype(jnp.int32)
+          | (flat[o + Bp:o + 2 * Bp].astype(jnp.int32) << 8))
+
+    read_t = jnp.take(read_tab, pr, axis=0).T      # (R, Bp)
+    qual_t = jnp.take(qual_tab, pr, axis=0).T
+    hap_t = jnp.take(hap_tab, ph, axis=0).T        # (H, Bp)
+    rlen = jnp.take(rlen_tab, pr)[None, :]
+    hlen = jnp.take(hlen_tab, ph)[None, :]
+    insq = jnp.full((1, 1), scalars[0], jnp.uint8)
+    delq = jnp.full((1, 1), scalars[1], jnp.uint8)
+    gcpq = jnp.full((1, 1), scalars[2], jnp.uint8)
+    return _local_pairhmm(read_t, qual_t, insq, delq, gcpq, rlen, hlen,
+                          hap_t, R=R, H=H, params=params)
+
+
+def pairhmm_logp_pairs(reads, quals, read_lens, haps, hap_lens,
+                       pair_read, pair_hap,
+                       ins_q: int, del_q: int, gcp: int,
+                       params: PairHMMParams | None = None) -> np.ndarray:
+    """log10 P(read|hap) for pairs given as (read index, hap index).
+
+    HaplotypeCaller batches are cross products (every read × every hap
+    per region): shipping per-pair read/hap copies re-sends each read
+    n_hap× and each hap n_read× over the host→device wire.  Here the
+    UNIQUE reads/quals/haps ship once in a single fused buffer with the
+    per-pair (read, hap) index arrays, and the (R, B)/(H, B) pair tiles
+    are gathered on device — ~5× less wire for typical HTC shapes.
+
+    reads (NR, R') u8 codes, quals (NR, R') u8 phreds, haps (NH, H') u8,
+    read_lens (NR,), hap_lens (NH,), pair_read/pair_hap (B,) int;
+    ins_q/del_q/gcp are scalars (compile-time).  B must be ≤ 8192 —
+    callers chunk by region groups so each chunk's tables stay local.
+    Under a multi-chip mesh this falls back to the sharded per-pair
+    path (the index tables cannot shard over lanes).
+    """
+    if params is None:
+        params = PairHMMParams(
+            backend="pallas" if jax.default_backend() == "tpu" else "jax")
+    B = len(pair_read)
+    if B == 0:
+        return np.zeros(0, np.float32)
+    from ..parallel.mesh import get_active_mesh
+    if get_active_mesh() is not None:
+        pr = np.asarray(pair_read)
+        ph = np.asarray(pair_hap)
+        return np.asarray(pairhmm_logp(
+            reads[pr], quals[pr], ins_q, del_q, gcp,
+            np.asarray(read_lens)[pr], haps[ph],
+            np.asarray(hap_lens)[ph], params))
+
+    NR, Rin = reads.shape
+    NH, Hin = haps.shape
+    R = params.max_read_len
+    H = params.max_hap_len
+    if _round_up(max(Rin, 8), 8) > R or Hin > H:
+        raise ValueError("input exceeds PairHMM bucket shape")
+    lanes = params.lanes if params.backend != "jax" else LANES
+
+    def pow2(n, lo):
+        p = lo
+        while p < n:
+            p *= 2
+        return p
+
+    NRp = pow2(NR, 8)
+    NHp = pow2(NH, 8)
+    Bp = pow2(B, lanes)
+    if B > 8192:
+        raise ValueError("pairhmm_logp_pairs: chunk pairs to <= 8192")
+
+    def pad_tab(x, np_, cols, fill):
+        x = np.asarray(x)
+        if x.dtype != np.uint8:
+            x = x.astype(np.uint8)
+        out = np.full((np_, cols), fill, np.uint8)
+        out[:x.shape[0], :x.shape[1]] = x
+        return out.reshape(-1)
+
+    def pad_lens16(x, np_):
+        v = np.ones(np_, np.int32)
+        v[:len(x)] = np.asarray(x, np.int32)
+        return np.concatenate([(v & 0xFF).astype(np.uint8),
+                               (v >> 8).astype(np.uint8)])
+
+    def pad_idx16(x):
+        v = np.zeros(Bp, np.int32)
+        v[:B] = np.asarray(x, np.int32)
+        return np.concatenate([(v & 0xFF).astype(np.uint8),
+                               (v >> 8).astype(np.uint8)])
+
+    flat = np.concatenate([
+        pad_tab(reads, NRp, R, 4), pad_tab(quals, NRp, R, 0),
+        pad_tab(haps, NHp, H, 4),
+        pad_lens16(read_lens, NRp), pad_lens16(hap_lens, NHp),
+        pad_idx16(pair_read), pad_idx16(pair_hap)])
+    rows = (len(flat) + Bp - 1) // Bp
+    blob = np.zeros(rows * Bp, np.uint8)
+    blob[:len(flat)] = flat
+    logp = _pairhmm_pairs_fused(
+        jnp.asarray(blob.reshape(rows, Bp)), params=params, R=R, H=H,
+        NRp=NRp, NHp=NHp, Bp=Bp,
+        scalars=(int(ins_q), int(del_q), int(gcp)))
+    return np.asarray(logp[:B])

@@ -712,6 +712,19 @@ void fg_bam_scan(const uint8_t* buf, int64_t n,
   }
 }
 
+// varlen gather: out[out_off[i] : out_off[i]+lens[i]] =
+//   blob[offs[i] : offs[i]+lens[i]]  (offsets/lengths in BYTES, offs and
+// lens pre-gathered by the caller for its index set).  The numpy
+// equivalent (repeat + arange + fancy-index) costs ~1 s per 47 MB shard
+// blob; this is a straight memcpy loop.
+void fg_gather_var(const uint8_t* blob, const int64_t* offs,
+                   const int64_t* lens, const int64_t* out_off,
+                   int64_t n, uint8_t* out) {
+  for (int64_t i = 0; i < n; i++) {
+    if (lens[i] > 0) memcpy(out + out_off[i], blob + offs[i], lens[i]);
+  }
+}
+
 // ---------------------------------------------------------------------------
 // local de Bruijn assembly (must match models.assembly.assemble_region
 // path-for-path: same DFS order, step/path caps, dedup and selection)

@@ -233,3 +233,35 @@ class TestMinimizersMT:
         assert np.array_equal(nh, ph)
         assert np.array_equal(np_, pp)
         assert np.array_equal(ns, ps)
+
+
+class TestGatherVar:
+    """fg_gather_var vs the numpy repeat/arange gather it replaces."""
+
+    @pytest.mark.parametrize("dtype", [np.uint8, np.int32])
+    def test_matches_numpy(self, dtype):
+        rng = np.random.default_rng(9)
+        n_rec = 500
+        lens_all = rng.integers(0, 40, n_rec).astype(np.int64)
+        offs_all = np.zeros(n_rec, np.int64)
+        np.cumsum(lens_all[:-1], out=offs_all[1:])
+        blob = rng.integers(0, 200, int(lens_all.sum())).astype(dtype)
+        idx = rng.permutation(n_rec)[:300]
+
+        lens = lens_all[idx]
+        new_off = np.zeros(len(idx), np.int64)
+        np.cumsum(lens[:-1], out=new_off[1:])
+        total = int(lens.sum())
+        got = native_ext.gather_var(blob, offs_all[idx], lens, new_off,
+                                    total)
+        assert got is not None
+        src = (np.repeat(offs_all[idx], lens)
+               + (np.arange(total) - np.repeat(new_off, lens)))
+        np.testing.assert_array_equal(got, blob[src])
+
+    def test_empty_and_zero_lens(self):
+        blob = np.arange(10, dtype=np.uint8)
+        got = native_ext.gather_var(blob, np.zeros(3, np.int64),
+                                    np.zeros(3, np.int64),
+                                    np.zeros(3, np.int64), 0)
+        assert got is not None and len(got) == 0

@@ -129,3 +129,46 @@ class TestKernelVsGolden:
                                       np.full(B, 24, np.int32), haps, hl,
                                       params=PARAMS))
         assert got.argmax() == 0
+
+
+class TestPairIndexedDispatch:
+    def test_matches_per_pair_path(self, rng):
+        from falcon_genome_tpu.ops.pairhmm import (
+            PairHMMParams, pairhmm_logp, pairhmm_logp_pairs)
+        NR, NH, RL, HL = 6, 3, 24, 40
+        haps = rng.integers(0, 4, (NH, HL)).astype(np.uint8)
+        reads = np.empty((NR, RL), np.uint8)
+        for i in range(NR):
+            s = rng.integers(0, HL - RL + 1)
+            reads[i] = haps[i % NH, s:s + RL]
+        quals = rng.integers(25, 40, (NR, RL)).astype(np.uint8)
+        rl = np.full(NR, RL, np.int32)
+        hl = np.full(NH, HL, np.int32)
+        pr = np.repeat(np.arange(NR), NH)
+        ph = np.tile(np.arange(NH), NR)
+        p = PairHMMParams(max_read_len=32, max_hap_len=64, backend="jax")
+        got = pairhmm_logp_pairs(reads, quals, rl, haps, hl, pr, ph,
+                                 45, 45, 10, params=p)
+        want = np.asarray(pairhmm_logp(
+            reads[pr], quals[pr], 45, 45, 10, rl[pr], haps[ph], hl[ph],
+            params=p))
+        np.testing.assert_allclose(got, want, rtol=0, atol=1e-4)
+
+    def test_ragged_lengths(self, rng):
+        from falcon_genome_tpu.ops.pairhmm import (
+            PairHMMParams, pairhmm_logp, pairhmm_logp_pairs)
+        NR, NH = 5, 4
+        haps = rng.integers(0, 4, (NH, 48)).astype(np.uint8)
+        reads = rng.integers(0, 4, (NR, 24)).astype(np.uint8)
+        quals = np.full((NR, 24), 30, np.uint8)
+        rl = np.array([24, 16, 20, 8, 24], np.int32)
+        hl = np.array([48, 30, 40, 25], np.int32)
+        pr = rng.integers(0, NR, 11).astype(np.int64)
+        ph = rng.integers(0, NH, 11).astype(np.int64)
+        p = PairHMMParams(max_read_len=32, max_hap_len=64, backend="jax")
+        got = pairhmm_logp_pairs(reads, quals, rl, haps, hl, pr, ph,
+                                 45, 45, 10, params=p)
+        want = np.asarray(pairhmm_logp(
+            reads[pr], quals[pr], 45, 45, 10, rl[pr], haps[ph], hl[ph],
+            params=p))
+        np.testing.assert_allclose(got, want, rtol=0, atol=1e-4)
