@@ -157,18 +157,35 @@ def bench_vpu_roofline(jax, jnp):
     practical ceiling for the PairHMM wavefront, whose inner loop is
     exactly this class of dependent (R, lanes) elementwise VPU math (no
     MXU path exists for an anti-diagonal DP).  2 flops per element per
-    iteration."""
+    iteration.
+
+    On the remote-tunnel transport, fixed dispatch latency + the d2h
+    sync dwarf the compute of any single call, so the rate comes from
+    the DELTA between two iteration counts (fixed costs cancel) and the
+    result collapses to a scalar on device (jnp.sum so no element is
+    dead-code-eliminated)."""
     E = (1024, 512)
     a = jnp.full(E, 1.0000001, jnp.float32)
     b = jnp.full(E, 1e-9, jnp.float32)
-    n_iter = 512
 
-    @jax.jit
-    def loop(x):
-        return jax.lax.fori_loop(0, n_iter, lambda _, x: x * a + b, x)
+    def timed(n_iter):
+        @jax.jit
+        def loop(x):
+            return jnp.sum(
+                jax.lax.fori_loop(0, n_iter, lambda _, x: x * a + b, x))
+        np.asarray(loop(jnp.ones(E, jnp.float32)))      # compile + warm
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            np.asarray(loop(jnp.ones(E, jnp.float32)))
+            best = min(best, time.perf_counter() - t0)
+        return best
 
-    per_iter = _timed_loop(loop, (jnp.ones(E, jnp.float32),), n_iter)
-    return 2.0 * E[0] * E[1] / per_iter / 1e9
+    n1, n2 = 512, 8192
+    dt = timed(n2) - timed(n1)
+    if dt <= 0:
+        raise RuntimeError("roofline delta-timing returned <= 0")
+    return 2.0 * E[0] * E[1] * (n2 - n1) / dt / 1e9
 
 
 # arithmetic VPU ops per computed cell per diagonal in the Pallas kernel
