@@ -514,7 +514,12 @@ def accumulate_table(cov: dict[str, np.ndarray],
     # the data plane whenever a multi-chip mesh is active (ICI, not the
     # host wire, carries the reduction there).
     rg = cov["rg"].astype(np.int64)
-    qual = cov["qual"].astype(np.int64)
+    # clamp qual into bin range: unusual BAMs can carry quals >= MAX_QUAL
+    # (they pass the MIN_USABLE_QUAL lower bound); the removed device
+    # scatter-add dropped out-of-range indices silently, but bincount
+    # would grow past `size` and break the reshape — clamp reproduces
+    # the deterministic "top bin" semantics instead
+    qual = np.minimum(cov["qual"].astype(np.int64), MAX_QUAL - 1)
     err = cov["is_error"].astype(np.float64)
     qf = rg * MAX_QUAL + qual
 

@@ -143,6 +143,16 @@ def gather_var(blob: np.ndarray, offs: np.ndarray, lens: np.ndarray,
     offs = np.ascontiguousarray(offs, np.int64) * esz
     lens_b = np.ascontiguousarray(lens, np.int64) * esz
     out_b = np.ascontiguousarray(out_off, np.int64) * esz
+    # the native loop is a raw memcpy with no bounds checks — fail loudly
+    # on inconsistent offsets like the numpy fallback (blob[src]) would,
+    # instead of silently over-reading/writing the heap
+    if len(offs):
+        if int((offs + lens_b).max()) > blob.nbytes or int(offs.min()) < 0:
+            raise IndexError("gather_var: src range exceeds blob")
+        if int((out_b + lens_b).max()) > total * esz or int(out_b.min()) < 0:
+            raise IndexError("gather_var: dst range exceeds output")
+        if int(lens_b.min()) < 0:
+            raise IndexError("gather_var: negative length")
     out = np.empty(total, blob.dtype)
     lib.fg_gather_var(blob.ctypes.data, offs.ctypes.data,
                       lens_b.ctypes.data, out_b.ctypes.data,

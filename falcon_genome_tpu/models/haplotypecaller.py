@@ -264,6 +264,13 @@ def _likelihoods_multi(staged: list[dict], gcp: int) -> list[np.ndarray]:
             poff += n_r * n_h
         pr = np.concatenate(pr_parts)
         ph = np.concatenate(ph_parts)
+        if len(pr) == 0:
+            # zero-pair chunk (every region had 0 reads or 0 haplotypes):
+            # nothing to score — emit empty matrices and move on
+            for s, (off, n_r, n_h) in zip(chunk, spans):
+                out[ci] = np.zeros((n_r, n_h), np.float32)
+                ci += 1
+            continue
         logp_parts = [
             pairhmm_logp_pairs(rtab, qtab, rlv, htab, hlv,
                                pr[s0:s0 + MAX_PAIRS],

@@ -572,6 +572,10 @@ def pairhmm_logp(read_codes, base_q, ins_q, del_q, gcp, read_lens,
     blob[off:] = 0
     rl32 = np.asarray(read_lens, np.int32)
     hl32 = np.asarray(hap_lens, np.int32)
+    # lengths ride as 16-bit LE bytes; wider values would wrap silently
+    if (rl32.size and int(rl32.max()) >= 65536) or \
+            (hl32.size and int(hl32.max()) >= 65536):
+        raise ValueError("pairhmm_logp: read/hap lengths exceed 16-bit")
     blob[off, :B] = rl32 & 0xFF
     blob[off + 1, :B] = rl32 >> 8
     blob[off + 2, :B] = hl32 & 0xFF
@@ -687,6 +691,11 @@ def pairhmm_logp_pairs(reads, quals, read_lens, haps, hap_lens,
     Bp = pow2(B, lanes)
     if B > 8192:
         raise ValueError("pairhmm_logp_pairs: chunk pairs to <= 8192")
+    # indices and lengths ride the wire as 16-bit LE bytes — anything
+    # wider would silently wrap to a wrong table row / length
+    if NRp >= 65536 or NHp >= 65536:
+        raise ValueError("pairhmm_logp_pairs: read/hap tables exceed "
+                         "16-bit index range")
 
     def pad_tab(x, np_, cols, fill):
         x = np.asarray(x)
