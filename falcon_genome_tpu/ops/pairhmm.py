@@ -145,6 +145,10 @@ def _pairhmm_kernel(read_ref, perr_ref, pins_ref, pdel_ref, pcont_ref,
     # at the final row, hap position j = d - rlen is in range iff
     # d <= rlen + hlen — a per-pair scalar threshold (no per-diagonal iota)
     rh_sum = rlen + hlen                           # (1, B) int32
+    # diagonals beyond every lane's rlen+hlen are fully masked — stop
+    # there instead of at the static bucket bound R+H (exact: amask is 0
+    # for every lane past its rh_sum, so acc/shift never change again)
+    dmax = jnp.max(rh_sum)
 
     # ---- initial state -----------------------------------------------------
     zero = jnp.zeros((R, B), f32)
@@ -223,9 +227,193 @@ def _pairhmm_kernel(read_ref, perr_ref, pins_ref, pdel_ref, pcont_ref,
 
         return carry
 
-    # R and H are multiples of 8, so R + H diagonals == (R + H) / 2 pairs
-    jax.lax.fori_loop(0, (R + H) // 2, step, 0)
+    # R and H are multiples of 8, so R + H diagonals == (R + H) / 2 pairs;
+    # the dynamic bound trims the all-masked tail (real hap/read lengths
+    # are usually well inside the static bucket)
+    nsteps = jnp.clip((dmax - 2) // 2 + 1, 1, (R + H) // 2)
+    jax.lax.fori_loop(0, nsteps, step, 0)
     acc_ref[:] = jnp.sum(acc2d_ref[:], axis=0, keepdims=True)
+
+
+def _pairhmm_kernel_sc(p_ins_c: float, p_del_c: float, p_cont_c: float,
+                       read_ref, perr_ref, rlen_ref, hap_ref, hlen_ref,
+                       acc_ref, shift_ref,
+                       m1_ref, d1_ref, w_ref,
+                       va_ref, vb_ref,
+                       hapd_ref, bound_ref, acc2d_ref):
+    """Scalar-transition variant of ``_pairhmm_kernel``.
+
+    GATK's HTC/Mutect2 callers run PairHMM with *constant* indel and
+    gap-continuation penalties (ins_q/del_q/gcp scalars — only base_q is
+    per-base data).  The general kernel materialises p_ins/p_del/p_cont/
+    a_mm/a_im as (R, B) VMEM tiles and re-reads them every diagonal; this
+    variant bakes them in as compile-time immediates, dropping the
+    per-substep VMEM tile traffic from ~22 tiles to ~15 — the kernel is
+    VMEM-bandwidth bound, so this is a direct throughput win.
+
+    The row-shifted constants collapse exactly: a scalar is row-invariant,
+    and the one row where shift-up semantics differ (the last row gets 0)
+    feeds only the product row that ``_shift_down`` discards.
+    """
+    R = read_ref.shape[0]
+    H = hap_ref.shape[0]
+    B = read_ref.shape[1]
+    f32 = jnp.float32
+
+    a_mm_c = f32(1.0 - min(1.0, p_ins_c + p_del_c))
+    a_im_c = f32(1.0 - p_cont_c)
+    p_ins_f = f32(p_ins_c)
+    p_del_f = f32(p_del_c)
+    p_cont_f = f32(p_cont_c)
+    third = f32(1.0 / 3.0)
+    one = f32(1.0)
+
+    read_codes = read_ref[:]
+    read_is_n = read_codes >= 4
+    p_err = perr_ref[:]
+    prior_match = one - p_err
+    prior_mismatch = p_err * third
+    rlen = rlen_ref[:]
+    hlen = hlen_ref[:]
+    hlen_f = hlen.astype(f32)
+    zrow = jnp.zeros((1, B), f32)
+
+    rvec = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
+    rowmask = (rvec + 1 == rlen).astype(f32)
+    rh_sum = rlen + hlen
+    dmax = jnp.max(rh_sum)   # dynamic diagonal bound (see general kernel)
+
+    zero = jnp.zeros((R, B), f32)
+    m1_ref[:] = zero
+    d1_ref[:] = zero
+    w_ref[:] = zero
+    hapd_ref[:] = jnp.zeros((R, B), jnp.int32)
+    acc2d_ref[:] = zero
+    shift_ref[:] = zrow
+
+    ic = f32(2.0) ** 120
+    bound0 = ic / jnp.maximum(hlen_f, 1.0)
+    bound_ref[:] = bound0
+    v0 = jnp.concatenate([bound0 * a_im_c, zero[:-1, :]], axis=0)
+    va_ref[:] = v0
+    vb_ref[:] = v0
+
+    def substep(d, v_ref):
+        new_hap_row = hap_ref[pl.ds(jnp.clip(d - 2, 0, H - 1), 1), :]
+        hapd = _shift_down(hapd_ref[:], new_hap_row)
+        hapd_ref[:] = hapd
+
+        match = jnp.logical_or(
+            read_codes == hapd, jnp.logical_or(read_is_n, hapd >= 4))
+        prior = jnp.where(match, prior_match, prior_mismatch)
+
+        i_new = w_ref[:]
+        m_new = prior * v_ref[:]
+        d_new = m1_ref[:] * p_del_f + d1_ref[:] * p_cont_f
+
+        amask = rowmask * (d <= rh_sum).astype(f32)
+        acc2d_ref[:] = acc2d_ref[:] + (m_new + i_new) * amask
+
+        v_ref[:] = _shift_down(
+            m_new * a_mm_c + (i_new + d_new) * a_im_c,
+            bound_ref[:] * a_im_c)
+        w_ref[:] = _shift_down(m_new * p_ins_f + i_new * p_cont_f, zrow)
+        m1_ref[:] = m_new
+        d1_ref[:] = d_new
+
+    def step(k, carry):
+        d = 2 * k + 2
+        substep(d, va_ref)
+        substep(d + 1, vb_ref)
+
+        @pl.when((d + 2) % RESCALE_EVERY == 0)
+        def _():
+            m = jnp.maximum(
+                jnp.max(jnp.abs(m1_ref[:]) + jnp.abs(w_ref[:])
+                        + jnp.abs(d1_ref[:]), axis=0, keepdims=True),
+                jnp.max(jnp.abs(va_ref[:]) + jnp.abs(vb_ref[:]),
+                        axis=0, keepdims=True))
+            need = jnp.logical_and(m > 0.0, m < RESCALE_THRESH)
+            scale = jnp.where(need, f32(RESCALE_FACTOR), f32(1.0))
+            m1_ref[:] = m1_ref[:] * scale
+            d1_ref[:] = d1_ref[:] * scale
+            w_ref[:] = w_ref[:] * scale
+            va_ref[:] = va_ref[:] * scale
+            vb_ref[:] = vb_ref[:] * scale
+            acc2d_ref[:] = acc2d_ref[:] * scale
+            shift_ref[:] = shift_ref[:] + jnp.where(
+                need, f32(RESCALE_SHIFT_LOG10), f32(0.0))
+            bound_ref[:] = bound_ref[:] * scale
+
+        return carry
+
+    nsteps = jnp.clip((dmax - 2) // 2 + 1, 1, (R + H) // 2)
+    jax.lax.fori_loop(0, nsteps, step, 0)
+    acc_ref[:] = jnp.sum(acc2d_ref[:], axis=0, keepdims=True)
+
+
+def _pairhmm_device_sc(read_codes, base_q, read_lens, hap_codes, hap_lens,
+                       *, params: PairHMMParams,
+                       scalar_trans: tuple[int, int, int]):
+    """Device entry for the scalar-transition kernel (ins/del/gcp phreds
+    are compile-time ints; only base_q ships as data)."""
+    return _pairhmm_device_sc_jit(read_codes, base_q, read_lens,
+                                  hap_codes, hap_lens, params=params,
+                                  scalar_trans=scalar_trans)
+
+
+@functools.partial(jax.jit, static_argnames=("params", "scalar_trans"))
+def _pairhmm_device_sc_jit(read_codes, base_q, read_lens, hap_codes,
+                           hap_lens, *, params: PairHMMParams,
+                           scalar_trans: tuple[int, int, int]):
+    read_codes = read_codes.astype(jnp.int32)
+    hap_codes = hap_codes.astype(jnp.int32)
+    R, B = read_codes.shape
+    H = hap_codes.shape[0]
+    p_err = jnp.broadcast_to(_phred_to_prob(base_q), (R, B))
+    read_lens = read_lens.astype(jnp.int32)
+    hap_lens = hap_lens.astype(jnp.int32)
+    L = params.lanes
+    nblocks = B // L
+    ins_q, del_q, gcp = scalar_trans
+    kernel = functools.partial(
+        _pairhmm_kernel_sc,
+        float(10.0 ** (-ins_q / 10.0)), float(10.0 ** (-del_q / 10.0)),
+        float(10.0 ** (-gcp / 10.0)))
+
+    col_spec = lambda rows: pl.BlockSpec(  # noqa: E731
+        (rows, L), lambda b: (0, b), memory_space=pltpu.VMEM)
+
+    acc, shift = pl.pallas_call(
+        kernel,
+        grid=(nblocks,),
+        in_specs=[col_spec(R), col_spec(R), col_spec(1), col_spec(H),
+                  col_spec(1)],
+        out_specs=(col_spec(1), col_spec(1)),
+        out_shape=(
+            jax.ShapeDtypeStruct((1, B), jnp.float32),
+            jax.ShapeDtypeStruct((1, B), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((R, L), jnp.float32),  # m1
+            pltpu.VMEM((R, L), jnp.float32),  # d1
+            pltpu.VMEM((R, L), jnp.float32),  # w
+            pltpu.VMEM((R, L), jnp.float32),  # va
+            pltpu.VMEM((R, L), jnp.float32),  # vb
+            pltpu.VMEM((R, L), jnp.int32),    # hap diagonal
+            pltpu.VMEM((1, L), jnp.float32),  # D row-0 boundary
+            pltpu.VMEM((R, L), jnp.float32),  # 2D accumulator
+        ],
+        cost_estimate=_bucket_cost(params),
+        interpret=params.interpret,
+    )(read_codes, p_err, read_lens, hap_codes, hap_lens)
+
+    logp = jnp.where(
+        acc > 0.0,
+        jnp.log10(jnp.maximum(acc, jnp.finfo(jnp.float32).tiny))
+        - shift - LOG10_INITIAL,
+        -jnp.inf)
+    return logp[0], shift[0]
 
 
 def _bucket_cost(p: PairHMMParams) -> pl.CostEstimate:
@@ -395,11 +583,20 @@ _SHARDED_CACHE: dict = {}
 
 
 def _local_pairhmm(read_t, baseq_t, insq_t, delq_t, gcp_t, rlen_t, hlen_t,
-                   hap_t, *, R: int, H: int, params: PairHMMParams):
-    """Per-device kernel body (time-major (rows, B_local) arrays)."""
+                   hap_t, *, R: int, H: int, params: PairHMMParams,
+                   scalar_trans: tuple[int, int, int] | None = None):
+    """Per-device kernel body (time-major (rows, B_local) arrays).
+
+    ``scalar_trans`` = (ins_q, del_q, gcp) compile-time phreds routes the
+    Pallas path to the lower-VMEM-traffic scalar-transition kernel."""
     if params.backend == "jax":
         return _pairhmm_jax(read_t, baseq_t, insq_t, delq_t, gcp_t,
                             rlen_t, hlen_t, hap_t, R=R, H=H)
+    if scalar_trans is not None:
+        logp, _ = _pairhmm_device_sc(read_t, baseq_t, rlen_t, hap_t,
+                                     hlen_t, params=params,
+                                     scalar_trans=scalar_trans)
+        return logp
     logp, _ = _pairhmm_device(read_t, baseq_t, insq_t, delq_t, gcp_t,
                               rlen_t, hap_t, hlen_t, params=params)
     return logp
@@ -439,8 +636,9 @@ def _pairhmm_fused(blob, *, params: PairHMMParams, R: int, H: int,
     of fixed tunnel latency, so the whole batch ships as ONE uint8 blob."""
     read, baseq, insq, delq, gcpq, rlen, hlen, hap = _pairhmm_unpack(
         blob, R, H, flags, scalars)
+    st = None if any(flags[1:]) else tuple(scalars[1:])
     return _local_pairhmm(read, baseq, insq, delq, gcpq, rlen, hlen, hap,
-                          R=R, H=H, params=params)
+                          R=R, H=H, params=params, scalar_trans=st)
 
 
 def _pairhmm_sharded_fused(mesh, params: PairHMMParams, R: int, H: int,
@@ -458,8 +656,10 @@ def _pairhmm_sharded_fused(mesh, params: PairHMMParams, R: int, H: int,
     def local(blob):
         read, baseq, insq, delq, gcpq, rlen, hlen, hap = _pairhmm_unpack(
             blob, R, H, flags, scalars)
+        st = None if any(flags[1:]) else tuple(scalars[1:])
         return _local_pairhmm(read, baseq, insq, delq, gcpq, rlen, hlen,
-                              hap, R=R, H=H, params=params)
+                              hap, R=R, H=H, params=params,
+                              scalar_trans=st)
 
     fn = jax.jit(jax.shard_map(
         local, mesh=mesh, in_specs=(P(None, axes),), out_specs=P(axes),
@@ -469,12 +669,13 @@ def _pairhmm_sharded_fused(mesh, params: PairHMMParams, R: int, H: int,
 
 
 def _pairhmm_sharded(mesh, params: PairHMMParams, R: int, H: int,
-                     replicated: tuple[bool, ...] = (False,) * 8):
+                     replicated: tuple[bool, ...] = (False,) * 8,
+                     scalar_trans: tuple[int, int, int] | None = None):
     """Jit the local kernel under shard_map; batch lanes shard over the
     full fused mesh (every chip scores an independent pair slice).
     ``replicated[i]`` marks args (e.g. (1, 1) scalar qual planes) that
     broadcast to every device instead of sharding over lanes."""
-    key = (mesh, params, R, H, replicated)
+    key = (mesh, params, R, H, replicated, scalar_trans)
     fn = _SHARDED_CACHE.get(key)
     if fn is not None:
         return fn
@@ -487,7 +688,7 @@ def _pairhmm_sharded(mesh, params: PairHMMParams, R: int, H: int,
               hap_t):
         return _local_pairhmm(read_t, baseq_t, insq_t, delq_t, gcp_t,
                               rlen_t, hlen_t, hap_t, R=R, H=H,
-                              params=params)
+                              params=params, scalar_trans=scalar_trans)
 
     fn = jax.jit(jax.shard_map(
         local, mesh=mesh, in_specs=in_specs, out_specs=P(axes),
@@ -634,7 +835,8 @@ def _pairhmm_pairs_fused(blob, *, params: PairHMMParams, R: int, H: int,
     delq = jnp.full((1, 1), scalars[1], jnp.uint8)
     gcpq = jnp.full((1, 1), scalars[2], jnp.uint8)
     return _local_pairhmm(read_t, qual_t, insq, delq, gcpq, rlen, hlen,
-                          hap_t, R=R, H=H, params=params)
+                          hap_t, R=R, H=H, params=params,
+                          scalar_trans=tuple(int(s) for s in scalars))
 
 
 def pairhmm_logp_pairs(reads, quals, read_lens, haps, hap_lens,
