@@ -237,6 +237,23 @@ def _estimate_library_size(pairs_examined: int, unique_pairs: int
     return int(round((lo + hi) / 2.0))
 
 
+def name_key_columns(cols) -> tuple[np.ndarray, np.ndarray]:
+    """(h, nk2) per-record name keys: 64-bit name hash + a 24-bit
+    (length, first byte, last byte) confirmation key.  Shared by the
+    scan phase and the streamed markdup's final marking pass (which
+    re-derives keys per bucket instead of holding them all)."""
+    from .io.columns import F_LNAME
+
+    f = cols.fixed
+    h = cols.name_hashes().astype(np.int64)
+    lname = f[:, F_LNAME].astype(np.int64)
+    no = cols.name_off.astype(np.int64)
+    fb = cols.names[np.where(lname > 0, no, 0)].astype(np.int64)
+    lb = cols.names[np.where(lname > 0, no + lname - 1, 0)].astype(np.int64)
+    nk2 = (lname << np.int64(16)) | (fb << np.int64(8)) | lb
+    return h, nk2
+
+
 def dup_scan_columns(cols, rg_to_lib: dict[str, str] | None = None
                      ) -> dict[str, np.ndarray]:
     """Compact per-record duplicate-scan arrays for one record chunk.
@@ -246,16 +263,11 @@ def dup_scan_columns(cols, rg_to_lib: dict[str, str] | None = None
     bucket tree never has to be resident at once).  Keys match
     :func:`mark_duplicates_columns` exactly.
     """
-    from .io.columns import F_FLAG, F_LNAME
+    from .io.columns import F_FLAG
 
     f = cols.fixed
     n = len(cols)
-    h = cols.name_hashes().astype(np.int64)
-    lname = f[:, F_LNAME].astype(np.int64)
-    no = cols.name_off.astype(np.int64)
-    fb = cols.names[np.where(lname > 0, no, 0)].astype(np.int64)
-    lb = cols.names[np.where(lname > 0, no + lname - 1, 0)].astype(np.int64)
-    nk2 = (lname << np.int64(16)) | (fb << np.int64(8)) | lb
+    h, nk2 = name_key_columns(cols)
 
     primary = (f[:, F_FLAG] & (FLAG_SECONDARY | FLAG_SUPPLEMENTARY)) == 0
     mapped = primary & ((f[:, F_FLAG] & 0x4) == 0)
@@ -284,43 +296,46 @@ def dup_scan_columns(cols, rg_to_lib: dict[str, str] | None = None
             "qsum": _qual_sums_columns(cols)}
 
 
-def _dup_core(h: np.ndarray, nk2: np.ndarray, ekey: np.ndarray,
-              mapped: np.ndarray, qsum: np.ndarray, names_for,
-              optical_pixel_dist: int = 100,
-              return_metrics: bool = False
-              ) -> tuple[np.ndarray, DupMetrics]:
-    """The duplicate decision on compact arrays → (per-record dup mask,
-    metrics).
+def _name_group_aggregate(h: np.ndarray, nk2: np.ndarray, ekey: np.ndarray,
+                          mapped: np.ndarray, qsum: np.ndarray,
+                          gidx: np.ndarray | None = None):
+    """Level A of the duplicate decision: group records by name key
+    (h, nk2) and reduce to per-LIVE-group rows (live = has ≥1 mapped
+    primary).
 
-    ``names_for(idx_array) -> {index: qname bytes}`` is called once with
-    every record index whose name the decision needs (score-tie keeper
-    choice + optical keys) — the streamed caller loads only the buckets
-    those indices live in.
+    Returns (group dict, gid, live) where the dict's arrays are indexed
+    by live group and gid maps every input record to its (all-groups)
+    id.  ``gidx`` supplies global record indices (the streamed caller's
+    partition rows carry them); default is 0..n-1.
+
+    The group dict fields: k0..k3 (the duplicate sort key: pair-ness /
+    min end key / max end key / multi-fragment sum), score, first
+    (smallest record index of the group — the name representative), cnt,
+    and the (h, nk2) name key itself (the streamed caller uses it to
+    mark members in a later pass).
     """
     n = len(h)
-    metrics = DupMetrics()
-    if n == 0:
-        return np.zeros(0, bool), metrics
+    if gidx is None:
+        gidx = np.arange(n, dtype=np.int64)
     nk = np.stack([h, nk2], axis=1)
     _, gid = np.unique(nk, axis=0, return_inverse=True)
     gid = gid.reshape(-1)
-    ngroups = int(gid.max()) + 1
+    ngroups = int(gid.max()) + 1 if n else 0
     mp = np.flatnonzero(mapped)
-    if len(mp) == 0:
-        return np.zeros(n, bool), metrics
-    ek = ekey[mp]
 
-    # per-name-group: count of mapped primaries, min/max end keys, score
     cnt = np.zeros(ngroups, np.int64)
     np.add.at(cnt, gid[mp], 1)
     kmin = np.full(ngroups, np.iinfo(np.int64).max, np.int64)
     kmax = np.full(ngroups, np.iinfo(np.int64).min, np.int64)
+    ek = ekey[mp]
     np.minimum.at(kmin, gid[mp], ek)
     np.maximum.at(kmax, gid[mp], ek)
     ksum = np.zeros(ngroups, np.int64)
     np.add.at(ksum, gid[mp], ek)
     score = np.zeros(ngroups, np.int64)
     np.add.at(score, gid[mp], qsum[mp])
+    first = np.full(ngroups, np.iinfo(np.int64).max, np.int64)
+    np.minimum.at(first, gid, gidx)
 
     live = np.flatnonzero(cnt > 0)
     is_pair = (cnt[live] > 1).astype(np.int64)
@@ -330,49 +345,73 @@ def _dup_core(h: np.ndarray, nk2: np.ndarray, ekey: np.ndarray,
     # pair's (1, min, max, ·)
     k0 = np.where(cnt[live] > 2, cnt[live], is_pair)
     k3 = np.where(cnt[live] > 2, ksum[live], 0)
+    g = {"k0": k0, "k1": k1, "k2": k2, "k3": k3,
+         "score": score[live], "first": first[live], "cnt": cnt[live]}
+    # name key per live group, taken from any member row (all share it)
+    rep = np.full(ngroups, n, np.int64)
+    np.minimum.at(rep, gid, np.arange(n))
+    g["h"] = h[rep[live]]
+    g["nk2"] = nk2[rep[live]]
+    return g, gid, live
 
-    order = np.lexsort((-score[live], k3, k2, k1, k0))
+
+def _dup_decide(g: dict, names_for, optical_pixel_dist: int = 100,
+                return_metrics: bool = False
+                ) -> tuple[np.ndarray, DupMetrics]:
+    """Level B of the duplicate decision, on per-live-group arrays →
+    (dup mask over live groups, metrics).
+
+    ``names_for(idx_array) -> {index: qname bytes}`` is called once with
+    every record index whose name the decision needs (score-tie keeper
+    choice + optical keys) — the streamed caller reads only the name
+    sidecars those indices live in.
+
+    Runs sharing the full duplicate key (k0..k3) are independent, so the
+    streamed markdup may partition groups by any function of k1 and call
+    this per partition: the verdicts and metrics are identical to one
+    global call.
+    """
+    metrics = DupMetrics()
+    nlive = len(g["k0"])
+    dup_mask = np.zeros(nlive, bool)
+    if nlive == 0:
+        return dup_mask, metrics
+    k0, k1, k2, k3 = g["k0"], g["k1"], g["k2"], g["k3"]
+    score, first, cnt = g["score"], g["first"], g["cnt"]
+    order = np.lexsort((-score, k3, k2, k1, k0))
     ok0, ok1, ok2, ok3 = k0[order], k1[order], k2[order], k3[order]
     new_grp = np.ones(len(order), bool)
     new_grp[1:] = ((ok0[1:] != ok0[:-1]) | (ok1[1:] != ok1[:-1])
                    | (ok2[1:] != ok2[:-1]) | (ok3[1:] != ok3[:-1]))
-    dup_gids: list[int] = []
-    # first of each dup-key run is the keeper, unless a score tie needs
-    # the lexicographic-qname rule (rare: resolved with real name bytes)
-    first_rec_of_gid = np.full(ngroups, n, np.int64)
-    np.minimum.at(first_rec_of_gid, gid, np.arange(n))
 
     run_start = np.flatnonzero(new_grp)
     run_end = np.append(run_start[1:], len(order))
-    g_live = live[order]
-    s_live = score[live][order]
-    cnt_live = cnt[live][order]
-    metrics.pairs_examined = int((cnt[live] > 1).sum())
-    metrics.unpaired_examined = int((cnt[live] == 1).sum())
+    s_live = score[order]
+    f_live = first[order]
+    cnt_live = cnt[order]
+    metrics.pairs_examined = int((cnt > 1).sum())
+    metrics.unpaired_examined = int((cnt == 1).sum())
 
     # batch name fetch: one request covering every multi-member run
     needed: list[int] = []
     for a, b in zip(run_start, run_end):
         if b - a >= 2:
-            needed.extend(int(first_rec_of_gid[g_live[j]])
-                          for j in range(a, b))
+            needed.extend(int(f_live[j]) for j in range(a, b))
     names = names_for(np.asarray(sorted(set(needed)), np.int64)) \
         if needed else {}
-
-    def name_of_gid(g: int) -> bytes:
-        return names[int(first_rec_of_gid[g])]
 
     for a, b in zip(run_start, run_end):
         if b - a < 2:
             continue
         top = s_live[a]
-        ties = [g_live[j] for j in range(a, b) if s_live[j] == top]
+        ties = [j for j in range(a, b) if s_live[j] == top]
         if len(ties) > 1:
-            keeper = min(ties, key=name_of_gid)
+            keeper = min(ties, key=lambda j: names[int(f_live[j])])
         else:
-            keeper = g_live[a]
-        dup_gids.extend(int(g_live[j]) for j in range(a, b)
-                        if g_live[j] != keeper)
+            keeper = a
+        for j in range(a, b):
+            if j != keeper:
+                dup_mask[order[j]] = True
         if return_metrics:
             # ---- optical-duplicate detection within the duplicate set --
             # grid-hashed neighbor probe: cells of side pixel_dist, so a
@@ -380,16 +419,15 @@ def _dup_core(h: np.ndarray, nk2: np.ndarray, ekey: np.ndarray,
             # expected O(k) per set (the naive all-pairs scan was O(k²),
             # millions of compares on a pathological PCR stack)
             D = max(1, optical_pixel_dist)
-            keys = [(int(g_live[j]),
-                     _optical_key(name_of_gid(int(g_live[j]))))
+            keys = [(j, _optical_key(names[int(f_live[j])]))
                     for j in range(a, b)]
             grid: dict[tuple, list[int]] = {}
-            for j, (_, kd) in enumerate(keys):
+            for i, (_, kd) in enumerate(keys):
                 if kd is not None:
                     cell = (kd[0], kd[1], kd[2] // D, kd[3] // D)
-                    grid.setdefault(cell, []).append(j)
-            for j, (gd, kd) in enumerate(keys):
-                if gd == keeper:
+                    grid.setdefault(cell, []).append(i)
+            for i, (j, kd) in enumerate(keys):
+                if j == keeper:
                     continue
                 if cnt_live[a] > 1:
                     metrics.pair_duplicates += 1
@@ -404,7 +442,7 @@ def _dup_core(h: np.ndarray, nk2: np.ndarray, ekey: np.ndarray,
                                 kd[2] // D + dx, kd[3] // D + dy)
                         for o in grid.get(cell, ()):
                             ko = keys[o][1]
-                            if (o != j
+                            if (o != i
                                     and abs(ko[2] - kd[2])
                                     <= optical_pixel_dist
                                     and abs(ko[3] - kd[3])
@@ -424,10 +462,32 @@ def _dup_core(h: np.ndarray, nk2: np.ndarray, ekey: np.ndarray,
         metrics.estimated_library_size = _estimate_library_size(
             metrics.pairs_examined - metrics.optical_duplicates,
             metrics.pairs_examined - metrics.pair_duplicates)
-    if not dup_gids:
+    return dup_mask, metrics
+
+
+def _dup_core(h: np.ndarray, nk2: np.ndarray, ekey: np.ndarray,
+              mapped: np.ndarray, qsum: np.ndarray, names_for,
+              optical_pixel_dist: int = 100,
+              return_metrics: bool = False
+              ) -> tuple[np.ndarray, DupMetrics]:
+    """The duplicate decision on compact arrays → (per-record dup mask,
+    metrics): name-group aggregation (level A) + group decision (level
+    B).  The streamed bucket-tree markdup runs the same two levels
+    out-of-core (h-partitioned aggregation, k1-partitioned decision) —
+    both paths share this exact code, so they decide identically.
+    """
+    n = len(h)
+    metrics = DupMetrics()
+    if n == 0:
+        return np.zeros(0, bool), metrics
+    g, gid, live = _name_group_aggregate(h, nk2, ekey, mapped, qsum)
+    if len(live) == 0:
         return np.zeros(n, bool), metrics
+    dup_live, metrics = _dup_decide(g, names_for, optical_pixel_dist,
+                                    return_metrics)
+    ngroups = int(gid.max()) + 1
     dup_mask_g = np.zeros(ngroups, bool)
-    dup_mask_g[np.asarray(dup_gids, np.int64)] = True
+    dup_mask_g[live[dup_live]] = True
     return dup_mask_g[gid], metrics
 
 

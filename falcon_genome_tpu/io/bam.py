@@ -377,8 +377,13 @@ class BamColumnsWriter:
         self._f.write(comp)
         self._base = len(comp)
         self._n_ref = max(len(header.contigs), 1)
-        self._tid, self._pos, self._end = [], [], []
-        self._v0, self._v1 = [], []
+        # incremental .bai state: IndexBuilder-style chunk runs (merged
+        # across write_columns boundaries) + per-ref linear minima —
+        # O(bins touched), NOT O(records), so a whole-genome stream
+        # through this writer stays memory-bounded
+        self._runs: list[np.ndarray] = []      # (k, 4) int64/u64 rows
+        self._tail: tuple[int, int, int, int] | None = None
+        self._lin: dict[int, np.ndarray] = {}
         self._sorted = True
         self._last = (-1, -1)
 
@@ -407,6 +412,7 @@ class BamColumnsWriter:
         pos = f12[:, F_POS].astype(np.int64)
         m_tid, m_pos = tid[mapped], pos[mapped]
         if len(m_tid):
+            from .tabix import LINEAR_SHIFT, reg2bin_vec
             if (int(m_tid[0]), int(m_pos[0])) < self._last:
                 self._sorted = False
             if not bool(np.all((m_tid[1:] > m_tid[:-1])
@@ -414,24 +420,75 @@ class BamColumnsWriter:
                                   & (m_pos[1:] >= m_pos[:-1])))):
                 self._sorted = False
             self._last = (int(m_tid[-1]), int(m_pos[-1]))
-            end = np.maximum(f12[:, F_ENDPOS].astype(np.int64), pos + 1)
-            self._tid.append(m_tid)
-            self._pos.append(m_pos)
-            self._end.append(end[mapped])
-            self._v0.append(voff[:-1][mapped])
-            self._v1.append(voff[1:][mapped])
+            end = np.maximum(f12[:, F_ENDPOS].astype(np.int64),
+                             pos + 1)[mapped]
+            vs = voff[:-1][mapped]
+            ve = voff[1:][mapped]
+            keep = (m_tid >= 0) & (m_tid < self._n_ref)
+            m_tid2, beg2, end2 = m_tid[keep], m_pos[keep], end[keep]
+            vs2, ve2 = vs[keep], ve[keep]
+            if len(m_tid2):
+                bins = reg2bin_vec(beg2, end2)
+                brk = np.ones(len(m_tid2), bool)
+                brk[1:] = ((m_tid2[1:] != m_tid2[:-1])
+                           | (bins[1:] != bins[:-1])
+                           | (ve2[:-1] != vs2[1:]))
+                starts = np.flatnonzero(brk)
+                ends_i = np.concatenate([starts[1:], [len(m_tid2)]]) - 1
+                runs = np.empty((len(starts), 4), np.uint64)
+                runs[:, 0] = m_tid2[starts].astype(np.uint64)
+                runs[:, 1] = bins[starts].astype(np.uint64)
+                runs[:, 2] = vs2[starts]
+                runs[:, 3] = ve2[ends_i]
+                if self._tail is not None:
+                    t = self._tail
+                    if (int(runs[0, 0]) == t[0] and int(runs[0, 1]) == t[1]
+                            and int(runs[0, 2]) == t[3]):
+                        runs[0, 2] = np.uint64(t[2])  # chain across chunks
+                    else:
+                        self._runs.append(np.asarray([t], np.uint64))
+                self._tail = tuple(int(x) for x in runs[-1])
+                if len(runs) > 1:
+                    self._runs.append(runs[:-1])
+                # linear index minima per 16 kb window
+                b0 = beg2 >> LINEAR_SHIFT
+                w1 = (end2 - 1) >> LINEAR_SHIFT
+                for ref in np.unique(m_tid2):
+                    sel = m_tid2 == ref
+                    need = int(w1[sel].max()) + 1
+                    lin = self._lin.get(int(ref))
+                    if lin is None or len(lin) < need:
+                        big = np.full(need,
+                                      np.uint64(0xFFFFFFFFFFFFFFFF),
+                                      np.uint64)
+                        if lin is not None:
+                            big[:len(lin)] = lin
+                        lin = big
+                        self._lin[int(ref)] = lin
+                    span = int((w1[sel] - b0[sel]).max())
+                    for k in range(span + 1):
+                        m = b0[sel] + k <= w1[sel]
+                        np.minimum.at(lin, (b0[sel] + k)[m], vs2[sel][m])
 
     def close(self, index: bool = True) -> str:
+        import struct as _struct
+
         from .bgzf import _EOF_BLOCK
-        from .tabix import write_bai_arrays
+        from .tabix import BAI_MAGIC, build_bai_body_runs
         self._f.write(_EOF_BLOCK)
         self._f.close()
-        if index and self._sorted and self._tid:
-            write_bai_arrays(
-                self.path + ".bai", self._n_ref,
-                np.concatenate(self._tid), np.concatenate(self._pos),
-                np.concatenate(self._end), np.concatenate(self._v0),
-                np.concatenate(self._v1))
+        if index and self._sorted and (self._runs or self._tail):
+            if self._tail is not None:
+                self._runs.append(np.asarray([self._tail], np.uint64))
+                self._tail = None
+            runs = np.concatenate(self._runs)
+            self._runs = [runs]
+            with open(self.path + ".bai", "wb") as f:
+                f.write(BAI_MAGIC + _struct.pack("<i", self._n_ref)
+                        + build_bai_body_runs(
+                            self._n_ref, runs[:, 0].astype(np.int64),
+                            runs[:, 1].astype(np.int64), runs[:, 2],
+                            runs[:, 3], self._lin))
         return self.path
 
     def __enter__(self):

@@ -106,6 +106,67 @@ class IndexBuilder:
         return str(path)
 
 
+def reg2bin_vec(beg, end):
+    """Vectorized reg2bin over (n,) 0-based [beg, end) arrays."""
+    import numpy as np
+    beg = np.asarray(beg, np.int64)
+    e1 = np.maximum(np.asarray(end, np.int64), beg + 1) - 1
+    bins = np.zeros(len(beg), np.int64)
+    done = np.zeros(len(beg), bool)
+    for shift, base in ((14, (1 << 15) - 1), (17, (1 << 12) - 1),
+                        (20, (1 << 9) - 1), (23, (1 << 6) - 1),
+                        (26, (1 << 3) - 1)):
+        hit = ~done & ((beg >> shift) == (e1 >> shift))
+        bins[hit] = base // 7 + (beg[hit] >> shift)
+        done |= hit
+    return bins
+
+
+def build_bai_body_runs(n_ref: int, r_tid, r_bin, r_u, r_v,
+                        linear: dict[int, "np.ndarray"]) -> bytes:
+    """BAI body from pre-compressed chunk runs + per-ref linear minima.
+
+    ``r_*`` are file-order (tid, bin, voff_start, voff_end) chunk runs —
+    the product of IndexBuilder-style adjacent merging, which the
+    streaming writer performs incrementally so nothing O(records) is
+    ever held.  ``linear[ref]`` holds the min voff_start per 16 kb
+    window (all-ones sentinel = empty window).  Byte-identical to
+    :func:`build_bai_body_arrays` on the same features."""
+    import numpy as np
+    order = np.lexsort((r_bin, r_tid))  # stable: file order kept per bin
+    r_tid, r_bin, r_u, r_v = (r_tid[order], r_bin[order], r_u[order],
+                              r_v[order])
+    BIG = np.uint64(0xFFFFFFFFFFFFFFFF)
+    out = bytearray()
+    for ref in range(n_ref):
+        lo = np.searchsorted(r_tid, ref, side="left")
+        hi = np.searchsorted(r_tid, ref, side="right")
+        rb, ru, rv = r_bin[lo:hi], r_u[lo:hi], r_v[lo:hi]
+        firsts = np.ones(len(rb), bool)
+        firsts[1:] = rb[1:] != rb[:-1]
+        bin_starts = np.flatnonzero(firsts)
+        bin_ends = np.concatenate([bin_starts[1:], [len(rb)]])
+        out += struct.pack("<i", len(bin_starts))
+        for s, e in zip(bin_starts.tolist(), bin_ends.tolist()):
+            out += struct.pack("<Ii", int(rb[s]), e - s)
+            chunk = np.empty((e - s, 2), "<u8")
+            chunk[:, 0] = ru[s:e]
+            chunk[:, 1] = rv[s:e]
+            out += chunk.tobytes()
+        lin = linear.get(ref)
+        if lin is None or not len(lin):
+            out += struct.pack("<i", 0)
+            continue
+        n_intv = len(lin)
+        filled = lin != BIG
+        idx = np.where(filled, np.arange(n_intv), -1)
+        np.maximum.accumulate(idx, out=idx)
+        vals = np.where(idx >= 0, lin[np.maximum(idx, 0)], np.uint64(0))
+        out += struct.pack("<i", n_intv)
+        out += vals.astype("<u8").tobytes()
+    return bytes(out)
+
+
 def build_bai_body_arrays(n_ref: int, tid, beg, end, vs, ve) -> bytes:
     """Vectorized IndexBuilder._body: same bytes, column inputs.
 

@@ -183,45 +183,120 @@ class BamInputSource:
         return self.columns.to_records()
 
 
+_SCAN_DT = np.dtype([("h", "<i8"), ("nk2", "<i8"), ("ekey", "<i8"),
+                     ("qsum", "<i8"), ("gidx", "<i8"), ("mapped", "u1")])
+_GRP_DT = np.dtype([("k0", "<i8"), ("k1", "<i8"), ("k2", "<i8"),
+                    ("k3", "<i8"), ("score", "<i8"), ("first", "<i8"),
+                    ("cnt", "<i8"), ("h", "<i8"), ("nk2", "<i8")])
+
+
 def _stream_markdup(parts: list[str], output: str,
                     rg_to_lib: dict[str, str], remove_dups: bool,
-                    optical_pixel_dist: int = 100):
+                    optical_pixel_dist: int = 100,
+                    partition_bytes: int = 512 << 20,
+                    spill_dir: str | None = None):
     """Bounded-memory MARKDUP over a ``part-%06d`` bucket tree.
 
-    Never holds the whole input as columns (the reference's streaming
-    sambamba markdup with its bounded fd budget,
-    SambambaWorker.cpp:59-72).  Three passes over the buckets, one
-    bucket resident at a time:
+    Truly out-of-core (the reference's streaming sambamba markdup with
+    its bounded fd/overflow budget, SambambaWorker.cpp:59-72,
+    config.cpp:311-313): nothing O(total records) is ever resident —
+    peak memory is max(one bucket, one spill partition, the duplicate
+    key set), regardless of input size.  Five passes:
 
-    1. scan: each bucket decodes once into ~33-byte/record compact
-       duplicate-scan arrays (``dup_scan_columns``) and is freed;
-    2. decide: the shared decision core runs on the concatenated compact
-       arrays; the record names it needs (score ties, optical keys) are
-       fetched lazily per bucket;
-    3. rewrite: buckets stream — in genome order — through the
-       BamColumnsWriter with FLAG_DUP applied from the global mask.
+    1. **scan** — each bucket decodes once; its compact duplicate-scan
+       rows (41 B/record) spill to ``P1`` partition files keyed by name
+       hash (all records of a name group share ``h``, so a group never
+       spans partitions), and its name blob+offsets are written to a
+       sidecar (so later name fetches never re-decode a bucket);
+    2. **aggregate** — each h-partition loads alone and reduces to
+       per-name-group rows (``bamops._name_group_aggregate``), which
+       spill to ``P2`` partition files keyed by ``hash(k1)`` (a
+       duplicate run shares its full k-key, hence its k1, so runs never
+       span partitions);
+    3. **decide** — each k1-partition loads alone and runs the shared
+       decision core (``bamops._dup_decide``) with sidecar-backed name
+       fetches; verdicts are collected as the (h, nk2) name keys of
+       duplicate groups — the only global product, sized by the
+       duplicate *rate*, not the input;
+    4. **mark+rewrite** — buckets stream in genome order through the
+       BamColumnsWriter; each re-derives its records' name keys and
+       FLAG_DUPs members of the duplicate key set.
 
     Returns (ndup, metrics, header) or None when the bucket ranges
     overlap (a foreign, non-position-bucketed tree → caller falls back
     to the in-memory path).
     """
-    import numpy as np
+    import shutil
+    import tempfile
 
-    from ..bamops import _dup_core, dup_scan_columns
+    from ..bamops import (
+        DupMetrics, _dup_decide, _estimate_library_size, dup_scan_columns,
+        name_key_columns)
+    from ..bamops import _name_group_aggregate
     from ..io import native_ext
     from ..io.bam import BamColumnsWriter
     from ..io.sam import FLAG_DUP
 
     if not native_ext.available():
         return None
+    if spill_dir and not Path(spill_dir).is_dir():
+        spill_dir = None
+    spill = Path(tempfile.mkdtemp(
+        prefix="markdup-spill-", dir=spill_dir))
+    try:
+        return _stream_markdup_inner(
+            parts, output, rg_to_lib, remove_dups, optical_pixel_dist,
+            partition_bytes, spill, DupMetrics, _dup_decide,
+            _estimate_library_size, dup_scan_columns, name_key_columns,
+            _name_group_aggregate, BamColumnsWriter, FLAG_DUP)
+    finally:
+        shutil.rmtree(spill, ignore_errors=True)
+
+
+def _stream_markdup_inner(parts, output, rg_to_lib, remove_dups,
+                          optical_pixel_dist, partition_bytes, spill,
+                          DupMetrics, _dup_decide, _estimate_library_size,
+                          dup_scan_columns, name_key_columns,
+                          _name_group_aggregate, BamColumnsWriter,
+                          FLAG_DUP):
     header = None
-    scans = []
     bounds: list[tuple[int, int] | None] = []
     offsets = [0]
-    for part in parts:
-        h, cols = read_bam_columns(part)
-        header = header or h
-        scans.append(dup_scan_columns(cols, rg_to_lib))
+
+    # ---- pass 1: scan buckets → h-partition spills + name sidecars ----
+    total_in = sum(Path(x).stat().st_size for x in parts)
+    # compact rows are ≤ ~41/80 of compressed BAM bytes; cap partitions
+    P1 = int(min(512, max(1, -(-total_in // (2 * partition_bytes)))))
+    p1_files = [open(spill / f"scan-{i:04d}.bin", "wb")
+                for i in range(P1)]
+    from ..io.columns import F_LNAME as _F_LNAME
+    for pi, part in enumerate(parts):
+        h_, cols = read_bam_columns(part)
+        header = header or h_
+        base = offsets[-1]
+        scan = dup_scan_columns(cols, rg_to_lib)
+        n = len(cols)
+        rows = np.empty(n, _SCAN_DT)
+        rows["h"] = scan["h"]
+        rows["nk2"] = scan["nk2"]
+        rows["ekey"] = scan["ekey"]
+        rows["qsum"] = scan["qsum"]
+        rows["gidx"] = np.arange(base, base + n, dtype=np.int64)
+        rows["mapped"] = scan["mapped"]
+        part_of = (scan["h"].astype(np.uint64)
+                   * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(40)
+        part_of = (part_of % np.uint64(P1)).astype(np.int64)
+        for i in range(P1):
+            sel = rows[part_of == i]
+            if len(sel):
+                p1_files[i].write(sel.tobytes())
+        # name sidecar: (offset, length) per record + the raw blob
+        no = cols.name_off.astype(np.int64)
+        ln = cols.fixed[:, _F_LNAME].astype(np.int64)
+        np.save(spill / f"names-{pi:06d}.off.npy",
+                np.stack([no, ln], axis=1))
+        cols.names.tofile(spill / f"names-{pi:06d}.blob")
+
         f = cols.fixed
         m = (f[:, F_FLAG] & FLAG_UNMAPPED) == 0
         if m.any():
@@ -230,8 +305,11 @@ def _stream_markdup(parts: list[str], output: str,
             bounds.append((int(key.min()), int(key.max())))
         else:
             bounds.append(None)
-        offsets.append(offsets[-1] + len(cols))
-        del cols
+        offsets.append(base + n)
+        del cols, scan, rows
+    for fobj in p1_files:
+        fobj.close()
+
     # genome order = buckets by min mapped key, all-unmapped trees last;
     # ranges must be disjoint for the concatenation to stay sorted
     order = sorted(range(len(parts)),
@@ -246,38 +324,115 @@ def _stream_markdup(parts: list[str], output: str,
                         "to the in-memory path")
             return None
         prev_max = bounds[i][1]
-    cat = {k: np.concatenate([s[k] for s in scans]) for k in scans[0]}
-    del scans
     offs = np.asarray(offsets, np.int64)
 
     def names_for(idx: np.ndarray) -> dict[int, bytes]:
+        """Global record indices → qname bytes, via the name sidecars
+        (no bucket re-decode)."""
         out: dict[int, bytes] = {}
+        if len(idx) == 0:
+            return out
         bis = np.searchsorted(offs, idx, "right") - 1
         for bi in np.unique(bis):
-            _, cols = read_bam_columns(parts[int(bi)])
-            blob = cols.names.tobytes()
-            no = cols.name_off
-            ln = cols.fixed[:, F_LNAME]
-            for i in idx[bis == bi]:
-                j = int(i - offs[bi])
-                out[int(i)] = blob[int(no[j]):int(no[j]) + int(ln[j])]
+            ol = np.load(spill / f"names-{int(bi):06d}.off.npy",
+                         mmap_mode="r")
+            with open(spill / f"names-{int(bi):06d}.blob", "rb") as bf:
+                for i in idx[bis == bi]:
+                    j = int(i - offs[bi])
+                    bf.seek(int(ol[j, 0]))
+                    out[int(i)] = bf.read(int(ol[j, 1]))
         return out
 
-    hit, metrics = _dup_core(
-        cat["h"], cat["nk2"], cat["ekey"], cat["mapped"], cat["qsum"],
-        names_for, optical_pixel_dist, return_metrics=True)
-    del cat
+    # ---- pass 2: aggregate each h-partition → k1-partition spills ----
+    P2 = P1
+    p2_files = [open(spill / f"grp-{i:04d}.bin", "wb") for i in range(P2)]
+    metrics = DupMetrics()
+    for i in range(P1):
+        fp = spill / f"scan-{i:04d}.bin"
+        rows = np.fromfile(fp, _SCAN_DT)
+        fp.unlink()
+        if len(rows) == 0:
+            continue
+        g, _, live = _name_group_aggregate(
+            rows["h"].copy(), rows["nk2"].copy(), rows["ekey"].copy(),
+            rows["mapped"].astype(bool), rows["qsum"].copy(),
+            gidx=rows["gidx"].copy())
+        del rows
+        if len(live) == 0:
+            continue
+        grows = np.empty(len(g["k0"]), _GRP_DT)
+        for k in ("k0", "k1", "k2", "k3", "score", "first", "cnt", "h",
+                  "nk2"):
+            grows[k] = g[k]
+        part_of = (g["k1"].astype(np.uint64)
+                   * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(40)
+        part_of = (part_of % np.uint64(P2)).astype(np.int64)
+        for j in range(P2):
+            sel = grows[part_of == j]
+            if len(sel):
+                p2_files[j].write(sel.tobytes())
+        del g, grows
+    for fobj in p2_files:
+        fobj.close()
 
+    # ---- pass 3: decide each k1-partition → duplicate name-key set ----
+    dup_keys: list[np.ndarray] = []
+    for j in range(P2):
+        fp = spill / f"grp-{j:04d}.bin"
+        grows = np.fromfile(fp, _GRP_DT)
+        fp.unlink()
+        if len(grows) == 0:
+            continue
+        g = {k: grows[k].copy()
+             for k in ("k0", "k1", "k2", "k3", "score", "first", "cnt")}
+        dup_live, pm = _dup_decide(g, names_for, optical_pixel_dist,
+                                   return_metrics=True)
+        metrics.pairs_examined += pm.pairs_examined
+        metrics.unpaired_examined += pm.unpaired_examined
+        metrics.pair_duplicates += pm.pair_duplicates
+        metrics.unpaired_duplicates += pm.unpaired_duplicates
+        metrics.optical_duplicates += pm.optical_duplicates
+        if dup_live.any():
+            dup_keys.append(np.stack(
+                [grows["h"][dup_live], grows["nk2"][dup_live]], axis=1))
+        del grows, g
+    metrics.estimated_library_size = _estimate_library_size(
+        metrics.pairs_examined - metrics.optical_duplicates,
+        metrics.pairs_examined - metrics.pair_duplicates)
+    if dup_keys:
+        dk = np.concatenate(dup_keys)
+        # sort by (h, nk2) for the per-bucket membership probe
+        dk = dk[np.lexsort((dk[:, 1], dk[:, 0]))]
+        dk_h, dk_n = dk[:, 0].copy(), dk[:, 1].copy()
+    else:
+        dk_h = dk_n = np.zeros(0, np.int64)
+
+    # ---- pass 4: mark + rewrite in genome order -----------------------
     writer = BamColumnsWriter(output, header)
     ndup = 0
     try:
         for bi in order:
             _, cols = read_bam_columns(parts[bi])
-            m = hit[offsets[bi]:offsets[bi + 1]]
+            if len(dk_h):
+                h, nk2 = name_key_columns(cols)
+                lo = np.searchsorted(dk_h, h, "left")
+                hit = np.zeros(len(cols), bool)
+                # verify nk2 within each h run (runs are tiny: h is a
+                # 64-bit hash, so almost always length 1)
+                cand = np.flatnonzero(lo < len(dk_h))
+                while len(cand):
+                    ok = dk_h[lo[cand]] == h[cand]
+                    eq = ok & (dk_n[lo[cand]] == nk2[cand])
+                    hit[cand[eq]] = True
+                    cand = cand[ok & ~eq]
+                    lo[cand] += 1
+                    cand = cand[lo[cand] < len(dk_h)]
+            else:
+                hit = np.zeros(len(cols), bool)
             f = cols.fixed
-            newly = m & ((f[:, F_FLAG] & FLAG_DUP) == 0)
+            newly = hit & ((f[:, F_FLAG] & FLAG_DUP) == 0)
             ndup += int(newly.sum())
-            f[:, F_FLAG] = np.where(m, f[:, F_FLAG] | FLAG_DUP,
+            f[:, F_FLAG] = np.where(hit, f[:, F_FLAG] | FLAG_DUP,
                                     f[:, F_FLAG])
             if remove_dups:
                 cols = cols.take(np.flatnonzero(
@@ -308,7 +463,8 @@ def run_markdup(conf: Config, input_path: str, output: str,
             with BamReader(parts[0]) as r:
                 rg_to_lib = {rg.get("ID", ""): rg.get("LB", "")
                              for rg in r.header.read_groups}
-            res = _stream_markdup(parts, output, rg_to_lib, remove_dups)
+            res = _stream_markdup(parts, output, rg_to_lib, remove_dups,
+                                  spill_dir=conf.get("temp_dir"))
             if res is not None:
                 ndup, metrics, _ = res
                 log.info(
