@@ -48,6 +48,7 @@ class StageError(FailedCommand):
 class Task:
     fn: Callable[[], object]
     label: str = ""
+    output: str | None = None   # per-task artifact → task-granular resume
 
 
 @dataclasses.dataclass
@@ -62,6 +63,14 @@ def stage(name: str, tasks: list[Callable[[], object]] | list[Task],
           outputs: list[str] | None = None, nprocs: int = 1) -> StageDef:
     norm = [t if isinstance(t, Task) else Task(t, f"{name}[{i}]")
             for i, t in enumerate(tasks)]
+    # declared outputs 1:1 with tasks → each task individually resumable
+    # (a killed scatter restarts only its unfinished shards — the
+    # reference persists per-contig artifacts the same way,
+    # BQSRWorker.cpp:111-150)
+    if outputs and len(outputs) == len(norm):
+        for t, o in zip(norm, outputs):
+            if t.output is None:
+                t.output = o
     return StageDef(name, norm, outputs or [], nprocs)
 
 
@@ -110,7 +119,14 @@ class PipelineRunner:
         if self.log_dir:
             Path(self.log_dir).mkdir(parents=True, exist_ok=True)
 
+        n_resumed = 0
+
         def run_task(i: int, t: Task):
+            nonlocal n_resumed
+            if (not self.force and t.output is not None
+                    and Path(t.output).exists()):
+                n_resumed += 1
+                return t.output
             t_start = time.time()
             try:
                 out = t.fn()
@@ -147,8 +163,10 @@ class PipelineRunner:
                                        traceback.format_exc()))
         elapsed = time.time() - t0
         self.timings[s.name] = elapsed
-        log.info("[%s] %s finishes in %d seconds%s", self.name, s.name,
-                 int(elapsed), rss_suffix())
+        resumed = (f" ({n_resumed} task(s) resumed from existing outputs)"
+                   if n_resumed else "")
+        log.info("[%s] %s finishes in %d seconds%s%s", self.name, s.name,
+                 int(elapsed), resumed, rss_suffix())
         if errors:
             # operative diagnosis: scrape the per-task logs, de-duplicated
             # across shards (Executor.cpp:74-99 + LogUtils::findError)

@@ -183,6 +183,57 @@ class BamInputSource:
         return self.columns.to_records()
 
 
+def stream_merge_sorted_parts(output: str, header, parts: list[str],
+                              next_keys: list[tuple[int, int] | None],
+                              slack: int = 1000) -> str:
+    """Merge per-shard BAM parts into one coordinate-sorted BAM with one
+    part resident at a time.
+
+    Each part is internally coordinate-sorted; records may stray up to
+    ``slack`` bp across the declared part boundaries (indel realignment
+    moves reads by at most the active-region pad).  ``next_keys[i]`` is
+    the (tid, pos) lower bound of part i+1 (None for the last part):
+    records at or beyond ``next_key - slack`` are carried into the next
+    part's sort instead of being emitted, so boundary strays land in
+    order.  Replaces whole-genome RecordColumns.concat merges
+    (the round-3 O(genome) RAM spikes in printreads/indel).
+    """
+    from ..io.bam import BamColumnsWriter, read_bam_columns
+
+    writer = BamColumnsWriter(output, header)
+    carry: RecordColumns | None = None
+    try:
+        for i, p in enumerate(parts):
+            _, cols = read_bam_columns(p)
+            if carry is not None and len(carry):
+                cols = RecordColumns.concat([carry, cols])
+                carry = None
+            if len(cols) == 0:
+                continue
+            order = cols.coordinate_order()
+            nk = next_keys[i] if i < len(next_keys) else None
+            if nk is None:
+                writer.write_columns(cols, order=order)
+                continue
+            f = cols.fixed
+            key = ((f[:, F_TID].astype(np.int64) << 32)
+                   | np.clip(f[:, F_POS], 0, None).astype(np.int64))
+            thresh = (np.int64(nk[0]) << 32) | np.int64(max(nk[1] - slack,
+                                                            0))
+            ks = key[order]
+            cut = int(np.searchsorted(ks, thresh))
+            if cut:
+                # take() (not a partial order=): encode expects a full
+                # permutation when given one
+                writer.write_columns(cols.take(order[:cut]))
+            carry = cols.take(order[cut:]) if cut < len(order) else None
+        if carry is not None and len(carry):
+            writer.write_columns(carry, order=carry.coordinate_order())
+    finally:
+        writer.close()
+    return output
+
+
 _SCAN_DT = np.dtype([("h", "<i8"), ("nk2", "<i8"), ("ekey", "<i8"),
                      ("qsum", "<i8"), ("gidx", "<i8"), ("mapped", "u1")])
 _GRP_DT = np.dtype([("k0", "<i8"), ("k1", "<i8"), ("k2", "<i8"),

@@ -103,26 +103,41 @@ def run_baserecal(conf: Config, ref: str, input_path: str, output: str,
     ks = KnownSites(known_sites or [], header,
                     str(Path(output).parent / ".known_sites_idx"))
 
-    shards = interval_shards(conf, fa)
+    shards = [s for s in interval_shards(conf, fa) if s]
     runner = PipelineRunner.from_conf("Base Recalibration", conf,
-                                      force=True)
+                                      force=force)
+    # per-shard recal tables persist (part-%06d.recal.npz) so a killed
+    # scatter resumes at shard granularity — the reference's per-contig
+    # BQSRWorker artifacts gathered by a separate worker
+    # (src/workers/BQSRWorker.cpp:111-150)
+    parts_dir = Path(str(output) + ".parts")
+    parts_dir.mkdir(parents=True, exist_ok=True)
+    part_paths = [str(parts_dir / f"part-{i:06d}.recal.npz")
+                  for i in range(len(shards))]
 
-    def one(shard):
+    def one(shard, path):
         # per-shard tabix stream of the known-sites mask: O(shard)
         # memory at dbSNP scale (BQSRWorker.cpp:43-53 semantics)
         known = ks.for_shard(shard) if ks else None
         cov = extract_covariates_columns(
             src.columns_for(shard), ref_by_tid, known, rg_index)
-        return accumulate_table(cov, rgs)
+        t = accumulate_table(cov, rgs)
+        t.save(path + ".tmp.npz")
+        import os
+        os.replace(path + ".tmp.npz", path)
+        return path
 
-    tasks = [(lambda s=s: one(s)) for s in shards if s]
-    (tables,) = runner.run([stage(
-        "BaseRecalibrator", tasks,
+    tasks = [(lambda s=s, p=p: one(s, p))
+             for s, p in zip(shards, part_paths)]
+    (results,) = runner.run([stage(
+        "BaseRecalibrator", tasks, outputs=part_paths,
         nprocs=conf.get("gatk.bqsr.nprocs"))]).values()
-    total = tables[0]
-    for t in tables[1:]:
-        total = total + t  # gather = addition (BQSRGatherWorker)
+    total = None
+    for p in results:
+        t = RecalTable.load(p)
+        total = t if total is None else total + t  # gather = addition
     import os
+    import shutil
     if str(output).endswith(".npz"):
         total.save(str(output) + ".tmp.npz")
         os.replace(str(output) + ".tmp.npz", output)
@@ -136,6 +151,7 @@ def run_baserecal(conf: Config, ref: str, input_path: str, output: str,
         os.replace(str(output) + ".tmp", output)
         total.save(str(output) + ".tmp.npz")
         os.replace(str(output) + ".tmp.npz", str(output) + ".npz")
+    shutil.rmtree(parts_dir, ignore_errors=True)   # gathered → done
     log.info("baserecal: %d observations → %s",
              int(total.qual_obs.sum()), output)
     return output
@@ -162,10 +178,14 @@ def run_printreads(conf: Config, ref: str, input_path: str, table: str,
 
     shards = interval_shards(conf, fa)
     out_is_dir = Path(output).suffix != ".bam"
-    runner = PipelineRunner.from_conf("Print Reads", conf,
-                                      force=force or not out_is_dir)
-    part_paths = ([get_contig_fname(output, i, "bam")
-                   for i in range(len(shards))] if out_is_dir else [])
+    runner = PipelineRunner.from_conf("Print Reads", conf, force=force)
+    # single-.bam output goes through the same per-shard part files
+    # (in a sibling work dir) and then STREAMS them shard-by-shard into
+    # one BAM — peak memory is one shard, never the whole genome
+    parts_root = (Path(output) if out_is_dir
+                  else Path(str(output) + ".parts"))
+    part_paths = [get_contig_fname(str(parts_root), i, "bam")
+                  for i in range(len(shards))]
 
     def one(shard, idx):
         # by_start: a partition — boundary-spanning reads are emitted by
@@ -173,32 +193,35 @@ def run_printreads(conf: Config, ref: str, input_path: str, table: str,
         cols = apply_bqsr_columns(src.columns_for(shard, by_start=True),
                                   model, rg_index,
                                   preserve_below=preserve_below)
+        import os
+        parts_root.mkdir(parents=True, exist_ok=True)
+        path = part_paths[idx]
+        tmp = path + ".tmp.bam"
+        write_bam_columns(tmp, header, cols, order=cols.coordinate_order())
+        if Path(tmp + ".bai").exists():
+            os.replace(tmp + ".bai", path + ".bai")
+        os.replace(tmp, path)
         if out_is_dir:
-            import os
-            Path(output).mkdir(parents=True, exist_ok=True)
-            path = part_paths[idx]
-            tmp = path + ".tmp.bam"
-            write_bam_columns(tmp, header, cols)
-            if Path(tmp + ".bai").exists():
-                os.replace(tmp + ".bai", path + ".bai")
-            os.replace(tmp, path)
             # sidecar .list with the shard's regions (PRWorker writes
             # .bed/.list shard metadata, BQSRWorker.cpp:180-228)
             from ..io.intervals import write_interval_list
             write_interval_list(get_contig_fname(output, idx, "list"), shard)
-            return path
-        return cols
+        return path
 
     tasks = [(lambda s=s, i=i: one(s, i)) for i, s in enumerate(shards)]
     (results,) = runner.run([stage(
         "PrintReads", tasks, outputs=part_paths,
         nprocs=conf.get("gatk.pr.nprocs"))]).values()
     if not out_is_dir:
-        from ..io.columns import RecordColumns
-        merged = RecordColumns.concat(
-            [c for c in results if c is not None and len(c)])
-        write_bam_columns(output, header, merged,
-                          order=merged.coordinate_order())
+        import shutil
+
+        from .bamstages import stream_merge_sorted_parts
+        next_keys = [
+            (header.tid(shards[i + 1][0].contig),
+             shards[i + 1][0].start - 1) if i + 1 < len(shards) else None
+            for i in range(len(shards))]
+        stream_merge_sorted_parts(output, header, results, next_keys)
+        shutil.rmtree(parts_root, ignore_errors=True)
     log.info("printreads → %s", output)
     return output
 
@@ -216,7 +239,9 @@ def run_bqsr(conf: Config, ref: str, input_path: str, output: str,
     if not force and Path(table).exists():
         log.info("bqsr: resume — reusing recalibration table %s", table)
     else:
+        # force=force (not True): a killed scatter's surviving
+        # part-%06d.recal.npz tables are reused at shard granularity
         run_baserecal(conf, ref, input_path, table, known_sites,
-                      force=True, extra_opts=extra_opts)
+                      force=force, extra_opts=extra_opts)
     return run_printreads(conf, ref, input_path, table, output, force,
                           extra_opts=extra_opts)

@@ -99,11 +99,17 @@ def run_indel(conf: Config, ref: str, input_path: str, output: str,
     src = BamInputSource.from_conf(conf, input_path)
     header = src.header
     params = SWParams()
-    shards = interval_shards(conf, fa)
+    shards = [s for s in interval_shards(conf, fa) if s]
     runner = PipelineRunner.from_conf("Indel Realignment", conf,
-                                      force=True)
+                                      force=force)
+    from pathlib import Path
 
-    def one(shard):
+    from ..utils.common import get_contig_fname
+    parts_root = Path(str(output) + ".parts")
+    part_paths = [get_contig_fname(str(parts_root), i, "bam")
+                  for i in range(len(shards))]
+
+    def one(shard, idx):
         parts = []
         n_re = 0
         for iv in shard:
@@ -119,20 +125,34 @@ def run_indel(conf: Config, ref: str, input_path: str, output: str,
             n_re += _realign_interval(recs, codes, iv.start - 1, iv.end,
                                       params)
             parts.append(RecordColumns.from_records(recs))
-        if not parts:
-            return None, 0
-        return RecordColumns.concat(parts), n_re
+        import os
+        parts_root.mkdir(parents=True, exist_ok=True)
+        out_cols = (RecordColumns.concat(parts) if parts
+                    else RecordColumns.from_records([]))
+        path = part_paths[idx]
+        tmp = path + ".tmp.bam"
+        write_bam_columns(tmp, header, out_cols,
+                          order=out_cols.coordinate_order(), index=False)
+        os.replace(tmp, path)
+        return path, n_re
 
-    tasks = [(lambda s=s: one(s)) for s in shards if s]
+    tasks = [(lambda s=s, i=i: one(s, i)) for i, s in enumerate(shards)]
     (results,) = runner.run([stage(
-        "IndelRealigner", tasks,
+        "IndelRealigner", tasks, outputs=part_paths,
         nprocs=conf.get("gatk.nprocs"))]).values()
-    parts = [c for c, _ in results if c is not None and len(c)]
-    n_realigned = sum(n for c, n in results if c is not None)
-    merged = RecordColumns.concat(parts) if parts \
-        else RecordColumns.from_records([])
-    write_bam_columns(output, header, merged,
-                      order=merged.coordinate_order())
+    n_realigned = sum(r[1] for r in results if isinstance(r, tuple))
+    # shard-by-shard streamed merge: one part resident at a time; the
+    # slack window absorbs realignment moves across shard boundaries
+    # (bounded by the active-region pad)
+    import shutil
+
+    from .bamstages import stream_merge_sorted_parts
+    next_keys = [
+        (header.tid(shards[i + 1][0].contig),
+         shards[i + 1][0].start - 1) if i + 1 < len(shards) else None
+        for i in range(len(shards))]
+    stream_merge_sorted_parts(output, header, part_paths, next_keys)
+    shutil.rmtree(parts_root, ignore_errors=True)
     log.info("indel: %d reads realigned → %s", n_realigned, output)
     return output
 
