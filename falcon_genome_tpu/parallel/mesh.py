@@ -124,6 +124,31 @@ def mesh_from_conf(conf, devices: list | None = None) -> Mesh | None:
                      devices[:data * region])
 
 
+def process_info() -> tuple[int, int]:
+    """(process_index, process_count) — (0, 1) when not distributed."""
+    try:
+        import jax
+        return jax.process_index(), jax.process_count()
+    except Exception:
+        return 0, 1
+
+
+def is_primary() -> bool:
+    """True on the process that performs final gathers/merges."""
+    return process_info()[0] == 0
+
+
+def sync_processes(tag: str) -> None:
+    """Cross-process barrier (no-op single-process).
+
+    The reference's analog is the Executor joining its per-host task
+    set before the gather worker runs (src/Executor.cpp:231-267)."""
+    if process_info()[1] <= 1:
+        return
+    from jax.experimental import multihost_utils
+    multihost_utils.sync_global_devices(tag)
+
+
 def initialize_from_conf(conf) -> Mesh | None:
     """CLI bring-up: multi-process init (if configured) + active mesh.
 

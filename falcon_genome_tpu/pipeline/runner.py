@@ -111,25 +111,50 @@ class PipelineRunner:
             # hand the deterministic artifacts to downstream gather steps
             return (list(s.outputs)
                     if len(s.outputs) == len(s.tasks) else [])
+        # multi-process scatter: under jax.distributed each process owns
+        # tasks round-robin by index and peers' artifacts are picked up
+        # from the shared FS after the end-of-stage barrier — the
+        # reference's per-host task dispatch (src/Executor.cpp:231-267,
+        # mpirun in BWAWorker.cpp:97-130).  Requires per-task outputs.
+        from ..parallel.mesh import process_info, sync_processes
+        pid, pcount = process_info()
+        dist = (pcount > 1 and len(s.tasks) > 1
+                and all(t.output is not None for t in s.tasks))
         t0 = time.time()
         ts = int(t0)
-        log.info("[%s] %s: %d task(s), %d worker(s)",
-                 self.name, s.name, len(s.tasks), s.nprocs)
+        n_local = sum(1 for i in range(len(s.tasks))
+                      if not dist or i % pcount == pid)
+        log.info("[%s] %s: %d task(s), %d worker(s)%s",
+                 self.name, s.name, len(s.tasks), s.nprocs,
+                 (f" (%d local to process %d/%d)"
+                  % (n_local, pid, pcount)) if dist else "")
         log_paths: dict[int, Path] = {}
         if self.log_dir:
             Path(self.log_dir).mkdir(parents=True, exist_ok=True)
 
         n_resumed = 0
+        _PEER = object()
 
         def run_task(i: int, t: Task):
             nonlocal n_resumed
+            if dist and i % pcount != pid:
+                return _PEER       # a peer process owns this task
             if (not self.force and t.output is not None
                     and Path(t.output).exists()):
                 n_resumed += 1
                 return t.output
             t_start = time.time()
             try:
-                out = t.fn()
+                if dist:
+                    # task-parallel mode: each process computes its own
+                    # shards with its LOCAL devices — the cross-process
+                    # mesh is SPMD-only and would deadlock on divergent
+                    # per-process work (thread-local, so set per task)
+                    from ..parallel.mesh import use_mesh
+                    with use_mesh(None):
+                        out = t.fn()
+                else:
+                    out = t.fn()
             except Exception:
                 tb = traceback.format_exc()
                 if self.log_dir:
@@ -167,6 +192,16 @@ class PipelineRunner:
                    if n_resumed else "")
         log.info("[%s] %s finishes in %d seconds%s%s", self.name, s.name,
                  int(elapsed), resumed, rss_suffix())
+        if dist and not errors:
+            # barrier, then adopt peers' artifacts from the shared FS
+            sync_processes(f"{self.name}:{s.name}")
+            for i, t in enumerate(s.tasks):
+                if results[i] is _PEER:
+                    if not Path(t.output).exists():
+                        errors.append((t.label,
+                                       f"peer artifact missing: "
+                                       f"{t.output}"))
+                    results[i] = t.output
         if errors:
             # operative diagnosis: scrape the per-task logs, de-duplicated
             # across shards (Executor.cpp:74-99 + LogUtils::findError)

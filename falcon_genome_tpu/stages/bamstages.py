@@ -315,15 +315,27 @@ def _stream_markdup_inner(parts, output, rg_to_lib, remove_dups,
     offsets = [0]
 
     # ---- pass 1: scan buckets → h-partition spills + name sidecars ----
+    # partition count comes from an actual RECORD estimate (first
+    # bucket's records scaled by byte share) — compressed size alone
+    # misjudges highly-compressible data by an order of magnitude
     total_in = sum(Path(x).stat().st_size for x in parts)
-    # compact rows are ≤ ~41/80 of compressed BAM bytes; cap partitions
-    P1 = int(min(512, max(1, -(-total_in // (2 * partition_bytes)))))
-    p1_files = [open(spill / f"scan-{i:04d}.bin", "wb")
-                for i in range(P1)]
+    P1 = None
+    p1_files: list = []
     from ..io.columns import F_LNAME as _F_LNAME
     for pi, part in enumerate(parts):
         h_, cols = read_bam_columns(part)
         header = header or h_
+        if P1 is None:
+            sz0 = max(Path(part).stat().st_size, 1)
+            est_records = int(len(cols) * (total_in / sz0)) + 1
+            est_scan = est_records * _SCAN_DT.itemsize
+            # ~5× headroom: the aggregation's transients (unique over a
+            # stacked (n,2) int64, argsort workspace, gid arrays) are a
+            # small multiple of the partition's row bytes
+            P1 = int(min(512, max(1, -(-est_scan
+                                       // max(partition_bytes // 5, 1)))))
+            p1_files = [open(spill / f"scan-{i:04d}.bin", "wb")
+                        for i in range(P1)]
         base = offsets[-1]
         scan = dup_scan_columns(cols, rg_to_lib)
         n = len(cols)

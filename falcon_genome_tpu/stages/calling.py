@@ -126,7 +126,12 @@ def run_htc(conf: Config, ref: str, input_path: str, output: str,
     (parts,) = runner.run([stage(
         "HaplotypeCaller", tasks, outputs=part_paths,
         nprocs=conf.get("gatk.htc.nprocs"))]).values()
-    concat_vcfs(parts, output, sort=False)  # shards are in genome order
+    # multi-process: every process computed its task slice (runner
+    # round-robin); only the primary gathers the shared-FS parts
+    from ..parallel.mesh import is_primary, sync_processes
+    if is_primary():
+        concat_vcfs(parts, output, sort=False)  # shards in genome order
+    sync_processes("htc:gather")
     log.info("htc → %s", output)
     return output
 

@@ -368,3 +368,86 @@ class TestDistributedSort:
         with use_mesh(mesh):
             meshed = cols.coordinate_order()
         assert np.array_equal(single, meshed)
+
+
+class TestMultiProcessStage:
+    def test_two_process_htc_stage(self, tmp_path):
+        """A real stage's WORK split across 2 jax.distributed processes:
+        the runner round-robins the 8-shard HTC scatter, each process
+        writes its own parts, and process 0's gathered VCF is
+        record-equal to a single-process run (the reference's per-host
+        stage dispatch, src/Executor.cpp:231-267 /
+        BWAWorker.cpp:97-130)."""
+        import os
+        import socket
+        import subprocess
+        import sys
+        from pathlib import Path
+
+        import numpy as np
+
+        sys.path.insert(0, str(Path(__file__).parent.parent))
+        from falcon_genome_tpu import stages
+        from falcon_genome_tpu.config import Config, Machine
+        from falcon_genome_tpu.io.bam import write_bam
+        from falcon_genome_tpu.io.dna import decode_seq
+        from falcon_genome_tpu.io.fasta import write_fasta
+        from falcon_genome_tpu.io.sam import (SamHeader, SamRecord,
+                                              cigar_from_str)
+        from falcon_genome_tpu.io.vcf import read_vcf
+
+        # 20 kb / ~2k reads with a het SNP in most of the 8 shards
+        rng = np.random.default_rng(9)
+        G, L = 20_000, 100
+        ref = rng.integers(0, 4, G).astype(np.uint8)
+        alt = ref.copy()
+        snps = np.arange(1200, G - 1200, 2200)
+        for p in snps:
+            alt[p] = (alt[p] + 1) % 4
+        records = []
+        for i, start in enumerate(range(0, G - L, 9)):
+            hap = alt if i % 2 else ref
+            records.append(SamRecord(
+                f"r{i}", 0, 0, start, 60, cigar_from_str(f"{L}M"),
+                seq=decode_seq(hap[start:start + L]), qual="I" * L))
+        records.sort(key=lambda r: r.pos)
+        write_fasta(tmp_path / "ref.fa", {"chr1": decode_seq(ref)})
+        write_bam(tmp_path / "in.bam",
+                  SamHeader(contigs=[("chr1", G)]), records)
+
+        # single-process reference run (same shard plan: 8)
+        conf = Config(machine=Machine(2, 4), environ={},
+                      load_files=False)
+        conf.set("gatk.ncontigs", 8)
+        conf.set("log_dir", str(tmp_path / "log1p"))
+        single = tmp_path / "single.vcf"
+        stages.run_htc(conf, str(tmp_path / "ref.fa"),
+                       str(tmp_path / "in.bam"), str(single),
+                       produce_vcf=True, force=True)
+        _, expect = read_vcf(str(single))
+
+        with socket.socket() as s:
+            s.bind(("localhost", 0))
+            port = s.getsockname()[1]
+        coord = f"localhost:{port}"
+        worker = str(Path(__file__).parent / "distproc_htc_worker.py")
+        env = dict(os.environ)
+        env.pop("XLA_FLAGS", None)
+        procs = [subprocess.Popen(
+            [sys.executable, worker, str(i), coord, str(tmp_path)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env)
+            for i in range(2)]
+        outs = []
+        for p in procs:
+            out, _ = p.communicate(timeout=600)
+            outs.append(out.decode(errors="replace"))
+        for i, (p, out) in enumerate(zip(procs, outs)):
+            assert p.returncode == 0, f"process {i} failed:\n{out}"
+            assert f"DISTHTC {i} OK" in out
+            # each process executed only its 4-task slice
+            assert "(4 local to process" in out or \
+                   "4 local to process" in out
+        _, got = read_vcf(str(tmp_path / "dist.vcf"))
+        key = lambda rs: [(r.contig, r.pos, r.ref, tuple(r.alts),  # noqa
+                           r.samples) for r in rs]
+        assert key(got) == key(expect) and len(got) > 0
