@@ -173,19 +173,32 @@ def main() -> None:
         record("bqsr", lambda: stages.run_bqsr(
             conf, ds["ref"], dedup, recal_bam, force=True))
     if "h" in run_stages:
+        # reference pipeline order: the caller consumes the
+        # RECALIBRATED BAM (worker-germline.cpp chains bqsr → htc) —
+        # BQSR learning the empirical ~q27 of the sim's 0.2% error is
+        # exactly what suppresses 2-read error-pileup het calls
+        htc_in = recal_bam if Path(recal_bam).exists() else dedup
         record("htc", lambda: stages.run_htc(
-            conf, ds["ref"], dedup, vcf, produce_vcf=True, force=True))
-        # sensitivity vs truth
+            conf, ds["ref"], htc_in, vcf, produce_vcf=True, force=True))
+        # sensitivity + precision vs truth (compareVCF.sh:230-258's
+        # pass rule is 0 extra variants; the recorded gate here is
+        # precision >= 99.9%)
         from falcon_genome_tpu.io.vcf import read_vcf
         truth = set(np.load(work / "truth.npy").tolist())
         _, recs = read_vcf(vcf)
         called = {r.pos - 1 for r in recs if not r.is_gvcf_block}
         tp = len(truth & called)
+        extra = len(called - truth)
+        prec = tp / max(len(called), 1)
         results["htc"]["sensitivity"] = round(tp / len(truth), 4)
-        results["htc"]["extra_calls"] = len(called - truth)
+        results["htc"]["extra_calls"] = extra
+        results["htc"]["precision"] = round(prec, 5)
+        results["htc"]["precision_pass"] = bool(prec >= 0.999)
+        results["htc"]["input"] = ("recal" if htc_in == recal_bam
+                                   else "dedup")
         results_path.write_text(json.dumps(results, indent=1))
-        print(f"   sensitivity {tp}/{len(truth)}, "
-              f"extra {len(called - truth)}")
+        print(f"   sensitivity {tp}/{len(truth)}, extra {extra}, "
+              f"precision {prec:.5f}")
 
     n_reads = 2 * N_PAIRS
     total = sum(v["wall_s"] for k, v in results.items()

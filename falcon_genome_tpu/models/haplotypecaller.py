@@ -89,7 +89,11 @@ class HTCParams:
     pairhmm: PairHMMParams | None = None
     max_reads_per_region: int = 256
     min_mapq: int = 10
-    min_call_qual: float = 10.0
+    # GATK HaplotypeCaller's -stand_call_conf default (30.0 in GATK4 and
+    # the 3.7-era tools the reference wraps); overridable per run via
+    # --extra-options.  The round-3 value of 10 admitted low-confidence
+    # error-pileup hets at WGS scale (677 extras at 60 Mb)
+    min_call_qual: float = 30.0
     emit_gvcf: bool = False
     gcp: int = 10                    # gap-continuation penalty phred
     sample: str = "SAMPLE"
