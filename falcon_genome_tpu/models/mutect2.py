@@ -48,8 +48,18 @@ class Mutect2Params:
 
 
 def _allele_likelihoods(hap_events, logp: np.ndarray, pos: int, ref: str,
-                        alt: str) -> tuple[np.ndarray, np.ndarray]:
-    """(L_ref, L_alt) per read for one site (log10)."""
+                        alt: str, span_lo: np.ndarray | None = None,
+                        span_hi: np.ndarray | None = None
+                        ) -> tuple[np.ndarray, np.ndarray]:
+    """(L_ref, L_alt) per read for one site (log10).
+
+    ``span_lo``/``span_hi`` are per-read region-relative alignment spans:
+    reads that do NOT overlap ``pos`` are neutralised (L_alt := L_ref),
+    GATK's overlap-based AlleleLikelihoods marginalisation.  Without
+    this, a read that never sees the candidate site but shares some
+    OTHER event with only one haplotype group votes for that group —
+    with combinatorial error haplotypes this inflated TLOD enough to
+    pass single-error-read sites (round-4 mutect2 rehearsal FPs)."""
     ref_haps = [h for h, evs in enumerate(hap_events)
                 if evs is not None and not any(
                     e.pos == pos and e.ref == ref for e in evs)]
@@ -61,6 +71,9 @@ def _allele_likelihoods(hap_events, logp: np.ndarray, pos: int, ref: str,
              else np.full(logp.shape[0], -300.0))
     L_alt = (logp[:, alt_haps].max(axis=1) if alt_haps
              else np.full(logp.shape[0], -300.0))
+    if span_lo is not None:
+        overlaps = (span_lo <= pos) & (pos < span_hi)
+        L_alt = np.where(overlaps, L_alt, L_ref)
     return L_ref, L_alt
 
 
@@ -140,20 +153,29 @@ class Mutect2:
 
         return self._genotype_somatic(hap_events, logp_t, logp_n,
                                       len(t_reads), contig, rstart,
-                                      t_reads=t_reads)
+                                      t_reads=t_reads, n_reads=n_reads)
 
     def _genotype_somatic(self, hap_events, logp_t, logp_n,
                           n_tumor: int, contig: str, rstart: int,
-                          t_reads: list[SamRecord] | None = None
+                          t_reads: list[SamRecord] | None = None,
+                          n_reads: list[SamRecord] | None = None
                           ) -> list[VcfRecord]:
         p = self.params
         # per-tumor-read strand + pair orientation (for the strand-bias and
         # orientation-artifact filters; GATK SB / F1R2-F2R1 annotations)
         t_rev = t_f1r2 = None
+        t_lo = t_hi = n_lo = n_hi = None
         if t_reads is not None:
             t_rev = np.array([r.is_reverse for r in t_reads], bool)
             read2 = np.array([bool(r.flag & 0x80) for r in t_reads], bool)
             t_f1r2 = t_rev == read2      # F1R2: R1 fwd, or R2 rev
+            t_lo = np.array([r.pos - rstart for r in t_reads], np.int64)
+            t_hi = np.array([r.end_pos - rstart for r in t_reads],
+                            np.int64)
+        if n_reads:
+            n_lo = np.array([r.pos - rstart for r in n_reads], np.int64)
+            n_hi = np.array([r.end_pos - rstart for r in n_reads],
+                            np.int64)
         # candidate somatic events = union of events on assembled haps
         sites: dict[tuple[int, str], set[str]] = {}
         for evs in hap_events:
@@ -166,14 +188,15 @@ class Mutect2:
         for (pos, refa), alts in sorted(sites.items()):
             for alt in sorted(alts):
                 Lr_t, La_t = _allele_likelihoods(hap_events, logp_t, pos,
-                                                 refa, alt)
+                                                 refa, alt, t_lo, t_hi)
                 tlod, f_hat = _tlod(Lr_t, La_t)
                 if tlod < p.tlod_threshold:
                     continue
                 nlod = None
                 if logp_n is not None:
                     Lr_n, La_n = _allele_likelihoods(hap_events, logp_n,
-                                                     pos, refa, alt)
+                                                     pos, refa, alt,
+                                                     n_lo, n_hi)
                     nlod = _nlod(Lr_n, La_n)
                     if nlod < p.nlod_threshold:
                         continue  # likely germline
@@ -509,5 +532,20 @@ def filter_mutect_calls(records: list[VcfRecord],
             af_n = float(r.samples[1].get("AF", 0.0))
             if af_n > max_af_normal:
                 filters.append("germline")
+        if len(r.samples) > 1:
+            # normal_artifact (GATK FilterMutectCalls): real alt
+            # evidence in the matched normal that NLOD's hom-ref vs het
+            # contrast misses (2 shared error reads pass a 0.5-AF het
+            # test easily).  Alt support in the normal at a rate
+            # comparable to the tumor's is an artifact signature.
+            ad_n = r.samples[1].get("AD", [0, 0])
+            ad_n = [int(x) for x in
+                    (ad_n if isinstance(ad_n, (list, tuple))
+                     else str(ad_n).split(","))]
+            af_t = float(r.samples[0].get("AF", 0.0))
+            if len(ad_n) > 1 and ad_n[1] >= 2:
+                af_n = ad_n[1] / max(1, ad_n[0] + ad_n[1])
+                if af_n >= 0.5 * af_t:
+                    filters.append("normal_artifact")
         r.filter = ";".join(filters) if filters else "PASS"
     return records
