@@ -285,14 +285,16 @@ def bench_align(rng):
 
 
 def bench_longread(rng):
-    """Steady-state long-read alignment throughput (Mbp/s): 32 × 10 kb
+    """Steady-state long-read alignment throughput (Mbp/s): 128 × 10 kb
     reads at 5% ONT-class error against a 1 Mb reference (the in-repo
     replacement for the reference's minimap-flow engine,
-    Minimap2Worker.cpp:51-106)."""
+    Minimap2Worker.cpp:51-106).  128 reads = 4 stages of the engine's
+    host∥device pipeline (the production stage batches 512,
+    ``tpu.batch.long_reads``)."""
     from falcon_genome_tpu.aligner import IndexParams, MinimizerIndex
     from falcon_genome_tpu.longread import LongReadAligner, LongReadParams
 
-    G, n_reads, read_len = 1_000_000, 32, 10_000
+    G, n_reads, read_len = 1_000_000, 128, 10_000
     genome = rng.integers(0, 4, G).astype(np.uint8)
     lp = LongReadParams(index=IndexParams(k=19, w=10, max_hits=256))
     eng = LongReadAligner(MinimizerIndex([("chr1", genome)], lp.index), lp)

@@ -350,11 +350,36 @@ class LongReadAligner:
         oriented = revcomp_codes(codes) if is_rev else codes
         return is_rev, oriented, cq, cr, sc, second
 
+    SUB_BATCH = 32   # reads per pipeline stage (device ∥ host overlap)
+
     def align_batch(self, reads: list[np.ndarray]) -> list[Alignment]:
+        """Two-stage pipeline: while the device scores sub-batch i's
+        chunks (XLA dispatch is async), the host chains/checkpoints
+        sub-batch i+1 and assembles sub-batch i-1 — the same
+        host∥device overlap the short-read aligner's two-stage emit
+        uses, here inside one call."""
+        out: list[Alignment | None] = [None] * len(reads)
+        pending = None
+        for lo in range(0, max(len(reads), 1), self.SUB_BATCH):
+            sub = reads[lo:lo + self.SUB_BATCH]
+            if not sub:
+                break
+            plan, chunks, oriented = self._prep(sub)
+            handle = self._run_chunks(chunks, oriented, plan, sub,
+                                      dispatch_only=True)
+            if pending is not None:
+                self._post(out, *pending)
+            pending = (lo, sub, plan, chunks, oriented, handle)
+        if pending is not None:
+            self._post(out, *pending)
+        return out  # type: ignore[return-value]
+
+    def _prep(self, reads: list[np.ndarray]):
+        """Host stage 1: chain + checkpoint every read of a sub-batch."""
         p = self.params
         k = self.index.params.k
         genome = self.index.genome
-        plan = []                  # (read idx, is_rev, chunks, meta)
+        plan = []                  # (is_rev, c0, c1, score, second, n)
         all_chunks: list[_Chunk] = []
         all_oriented: dict[int, np.ndarray] = {}
         for ri, codes in enumerate(reads):
@@ -372,40 +397,48 @@ class LongReadAligner:
                          len(cq)))
             all_chunks.extend(chunks)
             all_oriented[ri] = oriented
+        return plan, all_chunks, all_oriented
 
-        results = self._run_chunks(all_chunks, all_oriented, plan, reads)
-
-        out: list[Alignment] = []
+    def _post(self, out, lo, reads, plan, all_chunks, all_oriented,
+              handle):
+        """Host stage 2: collect device results, assemble alignments."""
+        from .ops.smith_waterman import sw_extend_collect
+        genome = self.index.genome
+        results = (sw_extend_collect(handle) if handle is not None
+                   else [])
         for ri, codes in enumerate(reads):
             item = plan[ri]
             if item is None:
-                out.append(Alignment(mapped=False, read_len=len(codes)))
+                out[lo + ri] = Alignment(mapped=False,
+                                         read_len=len(codes))
                 continue
             is_rev, c0, c1, sc, second, n_anchors = item
-            asm = _assemble(all_chunks[c0:c1], results[c0:c1], len(codes))
+            asm = _assemble(all_chunks[c0:c1], results[c0:c1],
+                            len(codes))
             if asm is None:
-                out.append(Alignment(mapped=False, read_len=len(codes)))
+                out[lo + ri] = Alignment(mapped=False,
+                                         read_len=len(codes))
                 continue
             cigar, ref_begin, score = asm
             tid, pos = self.index.tid_of(ref_begin)
-            ref_len = sum(n for op, n in cigar if op in (CIGAR_M, CIGAR_D))
+            ref_len = sum(n for op, n in cigar
+                          if op in (CIGAR_M, CIGAR_D))
             shim = SWResult(score, 0, len(codes), 0, ref_len, cigar)
             win = genome[ref_begin:ref_begin + ref_len]
-            if len(win) < ref_len:   # genome-end clamp: pad with no-match
+            if len(win) < ref_len:  # genome-end clamp: pad, no match
                 win = np.concatenate(
                     [win, np.full(ref_len - len(win), 4, np.uint8)])
             nm = _edit_distance(all_oriented[ri], win, shim)
-            out.append(Alignment(
+            out[lo + ri] = Alignment(
                 mapped=True, tid=tid, pos=pos, is_rev=is_rev,
                 score=score, sub_score=int(second),
                 mapq=_long_mapq(sc, second, n_anchors),
-                cigar=cigar, nm=nm, read_len=len(codes)))
-        return out
+                cigar=cigar, nm=nm, read_len=len(codes))
 
-    def _run_chunks(self, chunks: list[_Chunk], oriented, plan, reads
-                    ) -> list[SWResult]:
+    def _run_chunks(self, chunks: list[_Chunk], oriented, plan, reads,
+                    dispatch_only: bool = False):
         if not chunks:
-            return []
+            return None if dispatch_only else []
         bucket = self.bucket
         R, W = bucket.max_read_len, bucket.max_win_len
         p = self.params
@@ -441,5 +474,8 @@ class LongReadAligner:
             cwins[ci, :seg_r] = genome[ra:ra + seg_r]
             rl[ci] = seg_q
             wl[ci] = seg_r
-        return sw_extend_batch(creads, rl, cwins, wl, p.sw,
-                               bucket=bucket)
+        from .ops.smith_waterman import sw_extend_collect, \
+            sw_extend_dispatch
+        handle = sw_extend_dispatch(creads, rl, cwins, wl, p.sw,
+                                    bucket=bucket)
+        return handle if dispatch_only else sw_extend_collect(handle)

@@ -754,17 +754,46 @@ def sw_extend_batch(reads: np.ndarray, read_lens: np.ndarray,
                     bucket: SWBucket | None = None) -> list[SWResult]:
     """Align each read against its reference window; returns per-pair
     score/spans/CIGAR (soft clips included)."""
+    return sw_extend_collect(sw_extend_dispatch(
+        reads, read_lens, windows, win_lens, params, bucket))
+
+
+def sw_extend_dispatch(reads: np.ndarray, read_lens: np.ndarray,
+                       windows: np.ndarray, win_lens: np.ndarray,
+                       params: SWParams = SWParams(),
+                       bucket: SWBucket | None = None):
+    """Async half of sw_extend_batch: enqueues the device work (XLA
+    dispatch is asynchronous) and returns an opaque handle —
+    ``sw_extend_collect(handle)`` blocks on the d2h sync and walks the
+    results.  Callers overlap host work for the NEXT sub-batch with the
+    device computing THIS one (the long-read aligner's pipeline)."""
     if bucket is None:
         bucket = SWBucket(
             backend="pallas" if jax.default_backend() == "tpu" else "jax")
     if reads.shape[0] > MAX_LANES_PER_CALL:
-        out: list[SWResult] = []
+        handles = []
         for s in range(0, reads.shape[0], MAX_LANES_PER_CALL):
             e = s + MAX_LANES_PER_CALL
-            out.extend(sw_extend_batch(reads[s:e], read_lens[s:e],
-                                       windows[s:e], win_lens[s:e],
-                                       params, bucket))
+            handles.append(sw_extend_dispatch(
+                reads[s:e], read_lens[s:e], windows[s:e], win_lens[s:e],
+                params, bucket))
+        return ("multi", handles)
+    return ("one", _sw_extend_dispatch_one(reads, read_lens, windows,
+                                           win_lens, params, bucket))
+
+
+def sw_extend_collect(handle) -> list[SWResult]:
+    kind, payload = handle
+    if kind == "multi":
+        out: list[SWResult] = []
+        for h in payload:
+            out.extend(sw_extend_collect(h))
         return out
+    return payload() if callable(payload) else payload
+
+
+def _sw_extend_dispatch_one(reads, read_lens, windows, win_lens,
+                            params, bucket):
     B, Rin = reads.shape
     Win = windows.shape[1]
     if Rin > bucket.max_read_len or Win > bucket.max_win_len:
@@ -796,12 +825,20 @@ def sw_extend_batch(reads: np.ndarray, read_lens: np.ndarray,
 
     if bucket.backend != "interpret":
         # device traceback: the (D, R, B) pointer array stays in HBM and
-        # the op stream + coords + scores come back as ONE d2h buffer
-        fused = np.asarray(_traceback_device(
-            ptrs, best[0], bestpos[0], max_steps=R + W))
-        packed_h, coords_h, best_h = _decode_traceback(fused, R + W, B)
-        return _results_from_packed(
-            packed_h, R + W, coords_h, best_h, np.asarray(read_lens))
+        # the op stream + coords + scores come back as ONE d2h buffer.
+        # Both calls are enqueued now; the returned thunk performs the
+        # blocking d2h + host walk when collected.
+        fused_dev = _traceback_device(ptrs, best[0], bestpos[0],
+                                      max_steps=R + W)
+        rl = np.asarray(read_lens)
+
+        def collect():
+            fused = np.asarray(fused_dev)
+            packed_h, coords_h, best_h = _decode_traceback(fused,
+                                                           R + W, B)
+            return _results_from_packed(packed_h, R + W, coords_h,
+                                        best_h, rl)
+        return collect
 
     # interpret mode: host traceback paths (native C++ or python), which
     # are also the correctness references for the device walker
