@@ -115,14 +115,33 @@ def assemble_region(ref: np.ndarray, reads: list[np.ndarray],
     asserted by tests); the python path below is the reference.
     """
     ref = np.asarray(ref, dtype=np.uint8)
-    from ..io import native_ext
-    nat = native_ext.assemble_region(
-        ref, [np.asarray(r, np.uint8) for r in reads],
-        params.kmer_sizes, params.min_edge_mult, params.max_haplotypes)
-    if nat is not None:
-        haps, k, fallback = nat
-        return AssemblyResult(haps, k, fallback)
-    return _assemble_region_py(ref, reads, params)
+    reads = [np.asarray(r, np.uint8) for r in reads]
+
+    def once(mult: int) -> AssemblyResult:
+        from ..io import native_ext
+        nat = native_ext.assemble_region(
+            ref, reads, params.kmer_sizes, mult, params.max_haplotypes)
+        if nat is not None:
+            haps, k, fallback = nat
+            return AssemblyResult(haps, k, fallback)
+        p2 = dataclasses.replace(params, min_edge_mult=mult)
+        return _assemble_region_py(ref, reads, p2)
+
+    # adaptive prune escalation (GATK's pruneFactor ladder): a
+    # SATURATED haplotype set (cap hit) means combinatorial low-support
+    # bubbles are crowding out the real variant paths — path selection
+    # past the cap is arbitrary, and a well-supported somatic hap can be
+    # dropped while 2-read error haps survive (found at the 10 Mb
+    # mutect2 rehearsal: 55/62 misses had 10+ alt reads).  Raising the
+    # edge-multiplicity floor kills error bubbles first; real variants
+    # (support ≫ 2) survive every rung.
+    mult = params.min_edge_mult
+    res = once(mult)
+    while (len(res.haplotypes) >= params.max_haplotypes
+           and not res.fallback and mult < 8):
+        mult += 2
+        res = once(mult)
+    return res
 
 
 def _assemble_region_py(ref: np.ndarray, reads: list[np.ndarray],
