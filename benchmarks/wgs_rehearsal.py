@@ -11,6 +11,7 @@ Dataset files are cached in the workdir; re-runs reuse them.
 Usage: python benchmarks/wgs_rehearsal.py [workdir] [--stages a,m,b,h]
 """
 import json
+import logging
 import os
 import resource
 import sys
@@ -20,6 +21,10 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).parent.parent))
 
 import numpy as np
+
+# stage-level timings ("BaseRecalibrator finishes in Ns") come from the
+# package logger — keep them in the rehearsal transcript
+logging.basicConfig(level=logging.INFO, stream=sys.stderr)
 
 if os.environ.get("WGS_SMOKE"):          # tiny end-to-end smoke config
     G, N_PAIRS, N_SNPS = 600_000, 50_000, 600
