@@ -127,19 +127,25 @@ def assemble_region(ref: np.ndarray, reads: list[np.ndarray],
         p2 = dataclasses.replace(params, min_edge_mult=mult)
         return _assemble_region_py(ref, reads, p2)
 
-    # adaptive prune escalation (GATK's pruneFactor ladder): a
-    # SATURATED haplotype set (cap hit) means combinatorial low-support
-    # bubbles are crowding out the real variant paths — path selection
-    # past the cap is arbitrary, and a well-supported somatic hap can be
-    # dropped while 2-read error haps survive (found at the 10 Mb
-    # mutect2 rehearsal: 55/62 misses had 10+ alt reads).  Raising the
-    # edge-multiplicity floor kills error bubbles first; real variants
-    # (support ≫ 2) survive every rung.
+    # Adaptive prune escalation (GATK's pruneFactor ladder).  Two
+    # failure modes of a low multiplicity floor in noisy regions, both
+    # found at the 10 Mb mutect2 rehearsal (55/62 misses had 10+ alt
+    # reads):
+    #  * SATURATION — the hap cap fills with combinatorial low-support
+    #    error bubbles and selection past the cap arbitrarily drops a
+    #    well-supported variant path;
+    #  * BLOWUP — enumeration exceeds its path/step budget entirely
+    #    (mutect2 starts at min_edge_mult=1 for low-VAF sensitivity:
+    #    ~every sequencing error is a singleton bubble) and the region
+    #    falls back to ref-only.
+    # Raising the floor kills error bubbles first; real variants
+    # (support ≫ the rung) survive.  A region that still falls back at
+    # the top rung is genuinely unassemblable.
     mult = params.min_edge_mult
     res = once(mult)
-    while (len(res.haplotypes) >= params.max_haplotypes
-           and not res.fallback and mult < 8):
-        mult += 2
+    while ((len(res.haplotypes) >= params.max_haplotypes or res.fallback)
+           and mult < 8):
+        mult += 1 if mult < 2 else 2
         res = once(mult)
     return res
 
