@@ -27,6 +27,7 @@ def main():
     work = Path(sys.argv[1] if len(sys.argv) > 1 else "/tmp/wgs60")
     span_mb = int(sys.argv[2]) if len(sys.argv) > 2 else 6
     import jax
+    jax.config.update("jax_platforms", "cpu")   # shared backend
     assert jax.default_backend() == "cpu", "run on CPU (shared backend)"
     assert len(jax.devices()) >= 8, "need 8 virtual devices (XLA_FLAGS)"
 
@@ -41,8 +42,10 @@ def main():
     conf = conf_init(environ={})
     conf.set("temp_dir", str(work / "tmp"))
     conf.set("log_dir", str(work / "log"))
+    from falcon_genome_tpu.io.fasta import FastaFile
+    contig = FastaFile(str(work / "ref.fa")).dict.contigs[0].name
     intervals = work / f"slice{span_mb}.bed"
-    intervals.write_text(f"chr1\t0\t{span_mb * 1_000_000}\n")
+    intervals.write_text(f"{contig}\t0\t{span_mb * 1_000_000}\n")
 
     results = {}
 
