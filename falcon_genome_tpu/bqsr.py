@@ -318,6 +318,90 @@ def _rg_array(cols, idx: np.ndarray,
     return np.asarray([rg_index.get(v or "", 0) for v in vals], np.int32)
 
 
+def _ref_layout(ref_codes_by_tid: dict[int, np.ndarray]):
+    """(refcat, tid_ok, tid_len, tid_off, max_tid) concat layout."""
+    max_tid = max(ref_codes_by_tid)
+    tid_ok = np.zeros(max_tid + 2, bool)
+    tid_len = np.zeros(max_tid + 2, np.int64)
+    tid_off = np.zeros(max_tid + 2, np.int64)
+    parts = []
+    off = 0
+    for t in sorted(ref_codes_by_tid):
+        tid_ok[t] = True
+        tid_len[t] = len(ref_codes_by_tid[t])
+        tid_off[t] = off
+        off += tid_len[t]
+        parts.append(ref_codes_by_tid[t])
+    refcat = (np.concatenate(parts) if parts else np.zeros(0, np.uint8))
+    return refcat, tid_ok, tid_len, tid_off, max_tid
+
+
+def baserecal_shard_table(cols, ref_codes_by_tid: dict[int, np.ndarray],
+                          known_sites=None,
+                          rg_index: dict[str, int] | None = None,
+                          read_groups: list[str] | None = None
+                          ) -> "RecalTable":
+    """Per-shard BaseRecalibrator table: native one-pass histograms
+    when the extension is built (~40× the numpy expansion at WGS shard
+    scale), else the chunked python extraction.  Both paths produce
+    identical tables (test-gated)."""
+    from .io import native_ext
+
+    rgs = read_groups or ["default"]
+    if native_ext.available() and ref_codes_by_tid and len(cols):
+        from .io.columns import (F_FLAG, F_LSEQ, F_QSTAR, F_TID,
+                                 qual_phred_blob, seq_codes_blob)
+        refcat, tid_ok, tid_len, tid_off, max_tid = _ref_layout(
+            ref_codes_by_tid)
+        f = cols.fixed
+        tid = f[:, F_TID]
+        sel = np.flatnonzero(
+            ((f[:, F_FLAG] & 0xD04) == 0)
+            & (f[:, F_LSEQ] > 0) & (f[:, F_QSTAR] == 0)
+            & (tid >= 0) & (tid <= max_tid)
+            & tid_ok[np.clip(tid, 0, max_tid)])
+        if len(sel):
+            known = None
+            if known_sites:
+                known = np.zeros(len(refcat), np.uint8)
+                items = (known_sites.items()
+                         if isinstance(known_sites, dict) else None)
+                if items is not None:
+                    for t, ps in items:
+                        if 0 <= t <= max_tid and tid_ok[t]:
+                            ps = np.asarray(ps, np.int64)
+                            known[tid_off[t] + ps[ps < tid_len[t]]] = 1
+                else:
+                    for t, p in known_sites:
+                        if (0 <= t <= max_tid and tid_ok[t]
+                                and p < tid_len[t]):
+                            known[tid_off[t] + p] = 1
+            hist = native_ext.bqsr_hist(
+                cols.fixed, sel, _rg_array(cols, sel, rg_index),
+                cols.cig_off, cols.cigar_ops, cols.cigar_lens,
+                cols.seq_off, seq_codes_blob(cols),
+                qual_phred_blob(cols), refcat, tid_off, tid_len, known,
+                len(rgs))
+            if hist is not None:
+                qo, qe, co, ce, xo, xe = hist
+                return RecalTable(rgs, qo, qe, co, ce, xo, xe)
+    # python fallback: chunked extraction (the covariate arrays are
+    # ~15 per-base int64 temps — chunks cap the working set)
+    CH = 65536
+    total = None
+    n = len(cols)
+    for a in range(0, max(n, 1), CH):
+        sub = (cols if n <= CH
+               else cols.take(np.arange(a, min(a + CH, n))))
+        cov = extract_covariates_columns(sub, ref_codes_by_tid,
+                                         known_sites, rg_index)
+        part = accumulate_table(cov, rgs)
+        total = part if total is None else total + part
+        if n <= CH:
+            break
+    return total
+
+
 def extract_covariates_columns(cols,
                                ref_codes_by_tid: dict[int, np.ndarray],
                                known_sites: set[tuple[int, int]]

@@ -98,6 +98,18 @@ def load() -> ctypes.CDLL | None:
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_void_p]
+        # (fixed, sel, nsel, rg, cig_off, cops, clens, seq_off, seq,
+        #  qual, refcat, ref_total, tid_off, tid_len, known, 6× hist)
+        lib.fg_bqsr_hist.restype = None
+        lib.fg_bqsr_hist.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
         _lib = lib
         log.debug("loaded native fgio: %s", _SO)
     except Exception as e:  # missing toolchain → python fallback
@@ -158,6 +170,49 @@ def gather_var(blob: np.ndarray, offs: np.ndarray, lens: np.ndarray,
                       lens_b.ctypes.data, out_b.ctypes.data,
                       len(offs), out.ctypes.data)
     return out
+
+
+def bqsr_hist(fixed, sel, rg, cig_off, cops, clens, seq_off, seq, qual,
+              refcat, tid_off, tid_len, known, nrg: int):
+    """One-pass BaseRecalibrator histograms (see fg_bqsr_hist).  Returns
+    (qual_obs, qual_err, cyc_obs, cyc_err, ctx_obs, ctx_err) float64
+    arrays shaped (nrg,94), (nrg,94,512), (nrg,94,16) — or None without
+    the native lib."""
+    lib = load()
+    if lib is None:
+        return None
+    MAXQ, MAXC, NCTX = 94, 512, 16
+    fixed = np.ascontiguousarray(fixed, np.int32)
+    sel = np.ascontiguousarray(sel, np.int64)
+    rg = np.ascontiguousarray(rg, np.int32)
+    cig_off = np.ascontiguousarray(cig_off, np.int64)
+    cops = np.ascontiguousarray(cops, np.int32)
+    clens = np.ascontiguousarray(clens, np.int32)
+    seq_off = np.ascontiguousarray(seq_off, np.int64)
+    seq = np.ascontiguousarray(seq, np.uint8)
+    qual = np.ascontiguousarray(qual, np.uint8)
+    refcat = np.ascontiguousarray(refcat, np.uint8)
+    tid_off = np.ascontiguousarray(tid_off, np.int64)
+    tid_len = np.ascontiguousarray(tid_len, np.int64)
+    kptr = 0
+    if known is not None:
+        known = np.ascontiguousarray(known, np.uint8)
+        kptr = known.ctypes.data
+    outs = [np.zeros((nrg, MAXQ), np.float64),
+            np.zeros((nrg, MAXQ), np.float64),
+            np.zeros((nrg, MAXQ, MAXC), np.float64),
+            np.zeros((nrg, MAXQ, MAXC), np.float64),
+            np.zeros((nrg, MAXQ, NCTX), np.float64),
+            np.zeros((nrg, MAXQ, NCTX), np.float64)]
+    lib.fg_bqsr_hist(
+        fixed.ctypes.data, sel.ctypes.data, len(sel), rg.ctypes.data,
+        cig_off.ctypes.data, cops.ctypes.data, clens.ctypes.data,
+        seq_off.ctypes.data, seq.ctypes.data, qual.ctypes.data,
+        refcat.ctypes.data, len(refcat),
+        tid_off.ctypes.data, tid_len.ctypes.data, kptr,
+        outs[0].ctypes.data, outs[1].ctypes.data, outs[2].ctypes.data,
+        outs[3].ctypes.data, outs[4].ctypes.data, outs[5].ctypes.data)
+    return tuple(outs)
 
 
 def minimizers(codes: np.ndarray, k: int, w: int):

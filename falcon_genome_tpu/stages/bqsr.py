@@ -17,8 +17,8 @@ import logging
 from pathlib import Path
 
 from ..bqsr import (
-    RecalModel, RecalTable, accumulate_table, apply_bqsr_columns,
-    extract_covariates_columns, write_gatk_report)
+    RecalModel, RecalTable, apply_bqsr_columns, baserecal_shard_table,
+    write_gatk_report)
 from ..config import Config
 from ..io.bam import write_bam_columns
 from ..pipeline.runner import PipelineRunner, stage
@@ -119,9 +119,8 @@ def run_baserecal(conf: Config, ref: str, input_path: str, output: str,
         # per-shard tabix stream of the known-sites mask: O(shard)
         # memory at dbSNP scale (BQSRWorker.cpp:43-53 semantics)
         known = ks.for_shard(shard) if ks else None
-        cov = extract_covariates_columns(
-            src.columns_for(shard), ref_by_tid, known, rg_index)
-        t = accumulate_table(cov, rgs)
+        t = baserecal_shard_table(src.columns_for(shard), ref_by_tid,
+                                  known, rg_index, rgs)
         t.save(path + ".tmp.npz")
         import os
         os.replace(path + ".tmp.npz", path)

@@ -784,6 +784,88 @@ bool enumerate_paths(
 
 extern "C" {
 
+// BaseRecalibrator covariate histograms in one pass over the columnar
+// records (the numpy expansion materialised ~15 per-base int64 temps and
+// cost ~1 µs/base; this walk runs at memory speed).  Mirrors
+// bqsr.extract_covariates_columns + accumulate_table exactly — that pair
+// remains the correctness reference (tests assert table equality).
+//
+//   fixed     (n, 12) int32 fg_bam_scan layout
+//   sel       indices of eligible records (mapped primaries, qual
+//             string present, tid valid — the caller's mask)
+//   rg        per-SELECTED-record read-group index (len nsel)
+//   seq/qual  code (0..4) and phred blobs with per-record seq_off
+//   refcat    concatenated per-tid reference codes; tid_off/tid_len
+//             map tid → span (tid_len 0 for absent tids)
+//   known     optional per-base bitmap over refcat (1 = known site)
+// Outputs are accumulated IN PLACE (caller zero-fills):
+//   qual_obs/err (nrg*94), cyc_obs/err (nrg*94*512),
+//   ctx_obs/err (nrg*94*16)
+void fg_bqsr_hist(
+    const int32_t* fixed, const int64_t* sel, int64_t nsel,
+    const int32_t* rg,
+    const int64_t* cig_off, const int32_t* cops, const int32_t* clens,
+    const int64_t* seq_off, const uint8_t* seq, const uint8_t* qual,
+    const uint8_t* refcat, int64_t ref_total,
+    const int64_t* tid_off, const int64_t* tid_len,
+    const uint8_t* known,
+    double* qual_obs, double* qual_err,
+    double* cyc_obs, double* cyc_err,
+    double* ctx_obs, double* ctx_err) {
+  const int MAXQ = 94, MAXC = 512, NCTX = 16, MINQ = 6;
+  for (int64_t si = 0; si < nsel; si++) {
+    const int64_t r = sel[si];
+    const int32_t* f = fixed + r * 12;
+    const int32_t tid = f[0];
+    const int32_t flag = f[3];
+    const int32_t lseq = f[4];
+    const int32_t ncig = f[8];
+    const bool rev = (flag & 0x10) != 0;
+    const int64_t so = seq_off[r];
+    const int64_t co = cig_off[r];
+    const int64_t toff = tid_off[tid];
+    const int64_t tlen = tid_len[tid];
+    const int64_t qbase = (int64_t)rg[si] * MAXQ;
+    int64_t qpos = 0, rpos = f[1];
+    for (int32_t c = 0; c < ncig; c++) {
+      const int32_t op = cops[co + c];
+      const int32_t len = clens[co + c];
+      if (op == 0 || op == 7 || op == 8) {          // M/=/X
+        for (int32_t i = 0; i < len; i++, qpos++, rpos++) {
+          const uint8_t base = seq[so + qpos];
+          int32_t q = qual[so + qpos];
+          if (base > 3 || q < MINQ) continue;
+          if (rpos >= tlen) continue;               // past contig end
+          const int64_t gpos = toff + rpos;
+          if (known && known[gpos]) continue;
+          if (q >= MAXQ) q = MAXQ - 1;              // deterministic top bin
+          int64_t cyc = rev ? (int64_t)lseq - 1 - qpos : qpos;
+          if (cyc >= MAXC) cyc = MAXC - 1;
+          const int64_t prev_i = rev ? qpos + 1 : qpos - 1;
+          int32_t ctx = 0;
+          if (prev_i >= 0 && prev_i < lseq) {
+            const uint8_t prev = seq[so + prev_i];
+            if (prev < 4) ctx = (int32_t)prev * 4 + base;
+          }
+          const double err = (base != refcat[gpos]) ? 1.0 : 0.0;
+          const int64_t qk = qbase + q;
+          qual_obs[qk] += 1.0;
+          qual_err[qk] += err;
+          cyc_obs[qk * MAXC + cyc] += 1.0;
+          cyc_err[qk * MAXC + cyc] += err;
+          ctx_obs[qk * NCTX + ctx] += 1.0;
+          ctx_err[qk * NCTX + ctx] += err;
+        }
+      } else if (op == 1 || op == 4) {              // I/S
+        qpos += len;
+      } else if (op == 2 || op == 3) {              // D/N
+        rpos += len;
+      }                                             // H/P: nothing
+    }
+  }
+  (void)ref_total;
+}
+
 // Returns the number of haplotypes written (>=1; [0] is the ref), with
 // *out_k the k-mer size used and *out_fallback set when assembly failed.
 // out_offs has capacity max_haps+1 (prefix offsets into out_haps).

@@ -152,3 +152,65 @@ class TestBQSR:
         t2 = RecalTable.load(p)
         np.testing.assert_allclose(t.qual_obs, t2.qual_obs)
         assert t2.read_groups == ["rg0"]
+
+
+class TestNativeBqsrHist:
+    def test_native_matches_python_tables(self):
+        """fg_bqsr_hist one-pass histograms == the numpy extraction +
+        accumulation, on adversarial data: soft clips, indels, reverse
+        strand, excluded flags, sub-threshold and above-range quals,
+        known sites, two read groups."""
+        from falcon_genome_tpu.bqsr import (accumulate_table,
+                                            baserecal_shard_table,
+                                            extract_covariates_columns)
+        from falcon_genome_tpu.io import native_ext
+        from falcon_genome_tpu.io.columns import RecordColumns
+        from falcon_genome_tpu.io.dna import decode_seq
+        from falcon_genome_tpu.io.sam import SamRecord, cigar_from_str
+        if not native_ext.available():
+            pytest.skip("native ext required")
+        rng = np.random.default_rng(11)
+        ref = rng.integers(0, 4, 5000).astype(np.uint8)
+        recs = []
+        for i in range(300):
+            pos = int(rng.integers(0, 4800))
+            L = int(rng.integers(30, 120))
+            cig = f"{L}M"
+            r0 = rng.random()
+            if r0 < 0.3:
+                a, b = int(rng.integers(1, 10)), int(rng.integers(1, 10))
+                m1 = max(5, (L - a - b) // 2)
+                m2 = L - a - b - m1
+                if m2 > 2:
+                    cig = (f"{a}S{m1}M{b}I{m2 - 1}M" if r0 < 0.15
+                           else f"{a}S{m1}M{b}D{m2}M")
+            qlen = sum(n for op, n in cigar_from_str(cig)
+                       if op in (0, 1, 4, 7, 8))
+            seq = ref[pos:pos + qlen].copy()
+            mut = rng.random(len(seq)) < 0.1
+            seq = np.where(mut, (seq + 1) % 4, seq)
+            q = rng.integers(2, 95, qlen)
+            flag = 0x10 if rng.random() < 0.5 else 0
+            if rng.random() < 0.1:
+                flag |= 0x400
+            rec = SamRecord(
+                f"r{i}", flag, 0, pos, 60, cigar_from_str(cig),
+                seq=decode_seq(seq),
+                qual="".join(chr(int(x) + 33) for x in q))
+            rec.set_tag("RG", "Z", "rgA" if i % 3 else "rgB")
+            recs.append(rec)
+        cols = RecordColumns.from_records(recs)
+        ref_by_tid = {0: ref}
+        known = {0: np.sort(rng.choice(5000, 200,
+                                       replace=False)).astype(np.int64)}
+        rgi = {"rgA": 0, "rgB": 1}
+        rgs = ["rgA", "rgB"]
+        tn = baserecal_shard_table(cols, ref_by_tid, known, rgi, rgs)
+        tp = accumulate_table(
+            extract_covariates_columns(cols, ref_by_tid, known, rgi),
+            rgs)
+        for name in ("qual_obs", "qual_err", "cycle_obs", "cycle_err",
+                     "ctx_obs", "ctx_err"):
+            assert np.array_equal(getattr(tn, name), getattr(tp, name)), \
+                name
+        assert tn.qual_obs.sum() > 0
