@@ -199,7 +199,7 @@ class TestBaserecalShardResume:
         expect = RecalTable.load(t_ok)
 
         # "kill" the run at shard 2: poison extract_covariates_columns
-        real = sbq.extract_covariates_columns
+        real = sbq.baserecal_shard_table
         state = {"n": 0}
 
         def poisoned(*a, **kw):
@@ -208,7 +208,7 @@ class TestBaserecalShardResume:
                 raise RuntimeError("simulated kill")
             return real(*a, **kw)
 
-        monkeypatch.setattr(sbq, "extract_covariates_columns", poisoned)
+        monkeypatch.setattr(sbq, "baserecal_shard_table", poisoned)
         out = tmp_path / "resume.npz"
         import pytest as _pytest
         with _pytest.raises(Exception):
@@ -216,7 +216,7 @@ class TestBaserecalShardResume:
                               force=True)
         parts = sorted((tmp_path / "resume.npz.parts").glob("*.npz"))
         assert 0 < len(parts) < 4            # some shards survived
-        monkeypatch.setattr(sbq, "extract_covariates_columns", real)
+        monkeypatch.setattr(sbq, "baserecal_shard_table", real)
 
         # rerun WITHOUT force: surviving parts reused, rest recomputed
         state["calls2"] = 0
@@ -226,7 +226,7 @@ class TestBaserecalShardResume:
             calls.append(1)
             return real(*a, **kw)
 
-        monkeypatch.setattr(sbq, "extract_covariates_columns", counting)
+        monkeypatch.setattr(sbq, "baserecal_shard_table", counting)
         t2 = sbq.run_baserecal(conf, str(ref_fa), str(bam), str(out),
                                force=False)
         got = RecalTable.load(t2)
