@@ -514,6 +514,24 @@ def apply_bqsr_columns(cols, model: "RecalModel",
     sel = np.flatnonzero((f[:, F_LSEQ] > 0) & (f[:, F_QSTAR] == 0))
     if len(sel) == 0:
         return cols
+
+    from .io import native_ext
+    if native_ext.available():
+        # lookup-table fast path: one gather per base in C (the numpy
+        # expansion below — the correctness reference — materialises
+        # per-base temps and cost ~40 s per WGS shard)
+        pb = (MIN_USABLE_QUAL if preserve_below is None
+              else preserve_below)
+        delta = 33 if cols.qual_mode == "ascii" else 0
+        qual_out = cols.qual.copy()
+        ok = native_ext.bqsr_apply(
+            cols.fixed, sel, _rg_array(cols, sel, rg_index),
+            cols.seq_off, seq_codes_blob(cols), cols.qual,
+            model.full_table(), pb, delta, delta, qual_out)
+        if ok:
+            cols.qual = qual_out
+            return cols
+
     lseq = f[sel, F_LSEQ].astype(np.int64)
     nb = int(lseq.sum())
     bbase = np.cumsum(lseq) - lseq
@@ -706,6 +724,25 @@ class RecalModel:
              + self.ctx_delta[rg, qual, context])
         out = np.clip(np.rint(q), 2, MAX_QUAL - 1).astype(np.int32)
         return np.where(qual < preserve_below, qual, out)
+
+    def full_table(self) -> np.ndarray:
+        """(nrg, 94, 512, 16) uint8 recalibrated-qual lookup: the
+        additive delta model materialised once (~0.77 MB/rg) so the
+        per-base apply is a single gather (native fg_bqsr_apply)."""
+        cached = getattr(self, "_full_table", None)
+        if cached is not None:
+            return cached
+        nrg = self.global_delta.shape[0]
+        q = np.arange(MAX_QUAL, dtype=np.float64)
+        tab = (q[None, :, None, None]
+               + self.global_delta[:, None, None, None]
+               + self.qual_delta[:, :, None, None]
+               + self.cycle_delta[:, :, :, None]
+               + self.ctx_delta[:, :, None, :])
+        tab = np.clip(np.rint(tab), 2, MAX_QUAL - 1).astype(np.uint8)
+        assert tab.shape == (nrg, MAX_QUAL, MAX_CYCLE, N_CONTEXT)
+        self._full_table = tab
+        return tab
 
 
 def apply_bqsr(records: list[SamRecord], model: RecalModel,

@@ -98,6 +98,13 @@ def load() -> ctypes.CDLL | None:
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_void_p]
+        lib.fg_bqsr_apply.restype = None
+        lib.fg_bqsr_apply.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_void_p]
         # (fixed, sel, nsel, rg, cig_off, cops, clens, seq_off, seq,
         #  qual, refcat, ref_total, tid_off, tid_len, known, 6× hist)
         lib.fg_bqsr_hist.restype = None
@@ -213,6 +220,29 @@ def bqsr_hist(fixed, sel, rg, cig_off, cops, clens, seq_off, seq, qual,
         outs[0].ctypes.data, outs[1].ctypes.data, outs[2].ctypes.data,
         outs[3].ctypes.data, outs[4].ctypes.data, outs[5].ctypes.data)
     return tuple(outs)
+
+
+def bqsr_apply(fixed, sel, rg, seq_off, seq, qual_in, table,
+               preserve_below: int, in_delta: int, out_delta: int,
+               qual_out) -> bool:
+    """Per-base ApplyBQSR via lookup table (see fg_bqsr_apply); writes
+    into qual_out in place.  False without the native lib."""
+    lib = load()
+    if lib is None:
+        return False
+    fixed = np.ascontiguousarray(fixed, np.int32)
+    sel = np.ascontiguousarray(sel, np.int64)
+    rg = np.ascontiguousarray(rg, np.int32)
+    seq_off = np.ascontiguousarray(seq_off, np.int64)
+    seq = np.ascontiguousarray(seq, np.uint8)
+    qual_in = np.ascontiguousarray(qual_in, np.uint8)
+    table = np.ascontiguousarray(table, np.uint8)
+    lib.fg_bqsr_apply(
+        fixed.ctypes.data, sel.ctypes.data, len(sel), rg.ctypes.data,
+        seq_off.ctypes.data, seq.ctypes.data, qual_in.ctypes.data,
+        table.ctypes.data, preserve_below, in_delta, out_delta,
+        qual_out.ctypes.data)
+    return True
 
 
 def minimizers(codes: np.ndarray, k: int, w: int):

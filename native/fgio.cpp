@@ -866,6 +866,54 @@ void fg_bqsr_hist(
   (void)ref_total;
 }
 
+// ApplyBQSR per-base qual rewrite through a precomputed lookup table
+// (nrg, 94, 512, 16) uint8 — the additive delta model collapses to one
+// gather per base.  Mirrors bqsr.apply_bqsr_columns exactly (which
+// remains the correctness reference).  qual_out is a pre-copied qual
+// blob; only selected records' bases are rewritten.  in/out_delta are
+// 33 for ascii blobs, 0 for raw phred.
+void fg_bqsr_apply(
+    const int32_t* fixed, const int64_t* sel, int64_t nsel,
+    const int32_t* rg, const int64_t* seq_off,
+    const uint8_t* seq, const uint8_t* qual_in,
+    const uint8_t* table, int32_t preserve_below,
+    int32_t in_delta, int32_t out_delta, uint8_t* qual_out) {
+  const int MAXQ = 94, MAXC = 512, NCTX = 16;
+  for (int64_t si = 0; si < nsel; si++) {
+    const int64_t r = sel[si];
+    const int32_t* f = fixed + r * 12;
+    const int32_t lseq = f[4];
+    const bool rev = (f[3] & 0x10) != 0;
+    const int64_t so = seq_off[r];
+    const uint8_t* t =
+        table + (int64_t)rg[si] * MAXQ * MAXC * NCTX;
+    for (int32_t i = 0; i < lseq; i++) {
+      int32_t q = (int32_t)qual_in[so + i] - in_delta;
+      if (q < 0) q = 0;
+      if (q >= MAXQ) q = MAXQ - 1;
+      int32_t out;
+      if (q < preserve_below) {
+        out = q;
+      } else {
+        int64_t cyc = rev ? (int64_t)lseq - 1 - i : i;
+        if (cyc >= MAXC) cyc = MAXC - 1;
+        const int64_t prev_i = rev ? i + 1 : i - 1;
+        int32_t ctx = 0;
+        if (prev_i >= 0 && prev_i < lseq) {
+          const uint8_t prev = seq[so + prev_i];
+          if (prev < 4) {
+            int32_t cur = seq[so + i];
+            if (cur > 3) cur = 3;
+            ctx = (int32_t)prev * 4 + cur;
+          }
+        }
+        out = t[((int64_t)q * MAXC + cyc) * NCTX + ctx];
+      }
+      qual_out[so + i] = (uint8_t)(out + out_delta);
+    }
+  }
+}
+
 // Returns the number of haplotypes written (>=1; [0] is the ref), with
 // *out_k the k-mer size used and *out_fallback set when assembly failed.
 // out_offs has capacity max_haps+1 (prefix offsets into out_haps).

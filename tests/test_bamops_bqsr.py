@@ -214,3 +214,43 @@ class TestNativeBqsrHist:
             assert np.array_equal(getattr(tn, name), getattr(tp, name)), \
                 name
         assert tn.qual_obs.sum() > 0
+
+    def test_native_apply_matches_python(self, monkeypatch):
+        """fg_bqsr_apply (lookup-table rewrite) == the numpy remap,
+        including preserve_qscores_less_than and reverse-strand cycles."""
+        import falcon_genome_tpu.io.native_ext as ne
+        from falcon_genome_tpu.bqsr import (RecalModel,
+                                            apply_bqsr_columns,
+                                            baserecal_shard_table)
+        from falcon_genome_tpu.io.columns import RecordColumns
+        from falcon_genome_tpu.io.dna import decode_seq
+        from falcon_genome_tpu.io.sam import SamRecord, cigar_from_str
+        if not ne.available():
+            pytest.skip("native ext required")
+        rng = np.random.default_rng(3)
+        ref = rng.integers(0, 4, 4000).astype(np.uint8)
+        recs = []
+        for i in range(200):
+            pos = int(rng.integers(0, 3800))
+            L = int(rng.integers(20, 150))
+            seq = ref[pos:pos + L].copy()
+            seq = np.where(rng.random(L) < 0.08, (seq + 1) % 4, seq)
+            q = rng.integers(2, 95, L)
+            r = SamRecord(
+                f"r{i}", 0x10 * (i % 2), 0, pos, 60,
+                cigar_from_str(f"{L}M"), seq=decode_seq(seq),
+                qual="".join(chr(int(x) + 33) for x in q))
+            r.set_tag("RG", "Z", "rgA" if i % 2 else "rgB")
+            recs.append(r)
+        rgi = {"rgA": 0, "rgB": 1}
+        cols = RecordColumns.from_records(recs)
+        model = RecalModel.fit(baserecal_shard_table(
+            cols, {0: ref}, None, rgi, ["rgA", "rgB"]))
+        for pb in (None, 20):
+            a1 = apply_bqsr_columns(RecordColumns.from_records(recs),
+                                    model, rgi, preserve_below=pb)
+            monkeypatch.setattr(ne, "load", lambda: None)
+            a2 = apply_bqsr_columns(RecordColumns.from_records(recs),
+                                    model, rgi, preserve_below=pb)
+            monkeypatch.undo()
+            assert np.array_equal(a1.qual, a2.qual)
