@@ -131,6 +131,11 @@ def run_baserecal(conf: Config, ref: str, input_path: str, output: str,
     (results,) = runner.run([stage(
         "BaseRecalibrator", tasks, outputs=part_paths,
         nprocs=conf.get("gatk.bqsr.nprocs"))]).values()
+    from ..parallel.mesh import is_primary, sync_processes
+    if not is_primary():
+        # peers computed their task slice; the primary gathers/writes
+        sync_processes("baserecal:gather")
+        return output
     total = None
     for p in results:
         t = RecalTable.load(p)
@@ -151,6 +156,7 @@ def run_baserecal(conf: Config, ref: str, input_path: str, output: str,
         total.save(str(output) + ".tmp.npz")
         os.replace(str(output) + ".tmp.npz", str(output) + ".npz")
     shutil.rmtree(parts_dir, ignore_errors=True)   # gathered → done
+    sync_processes("baserecal:gather")
     log.info("baserecal: %d observations → %s",
              int(total.qual_obs.sum()), output)
     return output
@@ -211,7 +217,8 @@ def run_printreads(conf: Config, ref: str, input_path: str, table: str,
     (results,) = runner.run([stage(
         "PrintReads", tasks, outputs=part_paths,
         nprocs=conf.get("gatk.pr.nprocs"))]).values()
-    if not out_is_dir:
+    from ..parallel.mesh import is_primary, sync_processes
+    if not out_is_dir and is_primary():
         import shutil
 
         from .bamstages import stream_merge_sorted_parts
@@ -221,6 +228,7 @@ def run_printreads(conf: Config, ref: str, input_path: str, table: str,
             for i in range(len(shards))]
         stream_merge_sorted_parts(output, header, results, next_keys)
         shutil.rmtree(parts_root, ignore_errors=True)
+    sync_processes("printreads:gather")
     log.info("printreads → %s", output)
     return output
 

@@ -211,7 +211,10 @@ def run_mutect2(conf: Config, ref: str, tumor_path: str, output: str,
     (parts,) = runner.run([stage(
         "Mutect2", tasks, outputs=part_paths,
         nprocs=conf.get("gatk.mutect2.nprocs"))]).values()
-    concat_vcfs(parts, output, sort=False)
+    from ..parallel.mesh import is_primary, sync_processes
+    if is_primary():
+        concat_vcfs(parts, output, sort=False)
+    sync_processes("mutect2:gather")
     log.info("mutect2 → %s", output)
     return output
 
@@ -256,6 +259,9 @@ def run_ug(conf: Config, ref: str, input_path: str, output: str,
     (parts,) = runner.run([stage(
         "UnifiedGenotyper", tasks, outputs=part_paths,
         nprocs=conf.get("gatk.ug.nprocs"))]).values()
-    concat_vcfs(parts, output, sort=False)
+    from ..parallel.mesh import is_primary, sync_processes
+    if is_primary():
+        concat_vcfs(parts, output, sort=False)
+    sync_processes("ug:gather")
     log.info("ug → %s", output)
     return output
