@@ -433,23 +433,29 @@ class Alignment:
 
 
 def _edit_distance(read: np.ndarray, window: np.ndarray, res: SWResult) -> int:
-    """NM tag: mismatches + gap bases along the aligned path."""
-    nm = 0
-    # the CIGAR covers the whole read (leading S spans [0, read_start))
-    i, j = 0, res.ref_start
-    for op, n in res.cigar:
-        if op == CIGAR_M:
-            nm += int((read[i:i + n] != window[j:j + n]).sum())
-            i += n
-            j += n
-        elif op == CIGAR_I:
-            nm += n
-            i += n
-        elif op == CIGAR_D:
-            nm += n
-            j += n
-        elif op == CIGAR_S:
-            i += n
+    """NM tag: mismatches + gap bases along the aligned path.
+
+    Vectorized over the whole CIGAR: a 10 kb noisy long read carries
+    hundreds of ops, and per-op numpy slice compares were ~1 ms/read."""
+    nc = len(res.cigar)
+    if nc == 0:
+        return 0
+    ops = np.fromiter((op for op, _ in res.cigar), np.int32, nc)
+    lens = np.fromiter((n for _, n in res.cigar), np.int64, nc)
+    di = np.where((ops == CIGAR_M) | (ops == CIGAR_I) | (ops == CIGAR_S),
+                  lens, 0)
+    dj = np.where((ops == CIGAR_M) | (ops == CIGAR_D), lens, 0)
+    i0 = np.cumsum(di) - di                     # read offset per op
+    j0 = res.ref_start + np.cumsum(dj) - dj     # window offset per op
+    nm = int(lens[(ops == CIGAR_I) | (ops == CIGAR_D)].sum())
+    m = ops == CIGAR_M
+    if m.any():
+        ml = lens[m]
+        tot = int(ml.sum())
+        off = np.arange(tot) - np.repeat(np.cumsum(ml) - ml, ml)
+        ii = np.repeat(i0[m], ml) + off
+        jj = np.repeat(j0[m], ml) + off
+        nm += int((read[ii] != window[jj]).sum())
     return nm
 
 

@@ -143,61 +143,64 @@ def _checkpoints(cq: np.ndarray, cr: np.ndarray, k: int, L: int,
     — the SW edge patch restores the pin).  Virtual checkpoints extend
     the chain to the read ends along the local diagonal.
     """
-    pts: list[tuple[int, int]] = []          # (read pos, abs ref pos)
     first_q, first_r = int(cq[0]), int(cr[0])
     last_q, last_r = int(cq[-1]), int(cr[-1])
     # virtual start: project read base 0 on the first anchor's diagonal
     r0 = max(0, first_r - first_q)
-    pts.append((0, r0))
-    for i in range(len(cq)):
-        pts.append((int(cq[i]), int(cr[i])))
     # closing anchor consumes its k-mer; then project the read tail
     rend = min(genome_len, last_r + k + (L - (last_q + k)))
-    pts.append((L, rend))
 
-    # strictly increasing in both coordinates (virtual points can
-    # coincide with anchors at the read edges); _assemble soft-clips any
-    # read tail left uncovered when the genome end clamps the projection
-    mono: list[tuple[int, int]] = []
-    for p in pts:
-        if mono and not (p[0] > mono[-1][0] and p[1] > mono[-1][1]):
-            continue
-        mono.append(p)
-    pts = mono
-    if len(pts) < 2:
+    # strictly-increasing point list.  The chain anchors are already
+    # strictly increasing in both coordinates (_chain_read's keep
+    # filter), so the sequential monotone scan reduces to: skip leading
+    # anchors not strictly beyond the virtual start (once one anchor
+    # passes, all later ones do), and test the virtual end against the
+    # last kept point.  _assemble soft-clips any read tail left
+    # uncovered when the genome end clamps the projection.
+    s = 0
+    n = len(cq)
+    while s < n and not (int(cq[s]) > 0 and int(cr[s]) > r0):
+        s += 1
+    lq, lr = (int(cq[-1]), int(cr[-1])) if s < n else (0, r0)
+    tail = [L] if (L > lq and rend > lr) else []
+    pts_q = np.concatenate([[0], cq[s:], tail]).astype(np.int64)
+    pts_r = np.concatenate(
+        [[r0], cr[s:], [rend] if tail else []]).astype(np.int64)
+    if len(pts_q) < 2:
         return []
 
     chunks: list[_Chunk] = []
     budget_q = params.chunk_read
     budget_r = params.chunk_win
+    npts = len(pts_q)
     i = 0
-    while i < len(pts) - 1:
-        qa, ra = pts[i]
+    while i < npts - 1:
+        qa, ra = int(pts_q[i]), int(pts_r[i])
         # greedily absorb checkpoints while the chunk fits both budgets
-        j = i + 1
-        while (j + 1 < len(pts)
-               and pts[j + 1][0] - qa <= budget_q
-               and pts[j + 1][1] - ra <= budget_r):
-            j += 1
-        qb, rb = pts[j]
+        # (points increase in both coords → two binary searches)
+        j = min(int(np.searchsorted(pts_q, qa + budget_q, "right")),
+                int(np.searchsorted(pts_r, ra + budget_r, "right"))) - 1
+        j = max(j, i + 1)
+        j = min(j, npts - 1)
+        qb, rb = int(pts_q[j]), int(pts_r[j])
         dq, dr = qb - qa, rb - ra
         if dq > budget_q or dr > budget_r:
             # single long inter-checkpoint gap: proportional chop
             nsp = max(int(np.ceil(dq / budget_q)),
                       int(np.ceil(dr / budget_r)))
-            for s in range(nsp):
-                sqa = qa + dq * s // nsp
-                sqb = qa + dq * (s + 1) // nsp
-                sra = ra + dr * s // nsp
-                srb = ra + dr * (s + 1) // nsp
+            for sp in range(nsp):
+                sqa = qa + dq * sp // nsp
+                sqb = qa + dq * (sp + 1) // nsp
+                sra = ra + dr * sp // nsp
+                srb = ra + dr * (sp + 1) // nsp
                 chunks.append(_Chunk(sqa, sqb, sra, srb,
-                                     free_left=(i == 0 and s == 0),
-                                     free_right=(j == len(pts) - 1
-                                                 and s == nsp - 1)))
+                                     free_left=(i == 0 and sp == 0),
+                                     free_right=(j == npts - 1
+                                                 and sp == nsp - 1)))
         else:
             chunks.append(_Chunk(qa, qb, ra, rb,
                                  free_left=(i == 0),
-                                 free_right=(j == len(pts) - 1)))
+                                 free_right=(j == npts - 1)))
         i = j
     return [c for c in chunks if c.read_b > c.read_a and c.ref_b >= c.ref_a]
 
