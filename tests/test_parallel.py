@@ -451,3 +451,77 @@ class TestMultiProcessStage:
         key = lambda rs: [(r.contig, r.pos, r.ref, tuple(r.alts),  # noqa
                            r.samples) for r in rs]
         assert key(got) == key(expect) and len(got) > 0
+
+    def test_two_process_baserecal_stage(self, tmp_path):
+        """The baserecal scatter splits across 2 jax.distributed
+        processes; the primary's gathered table equals the
+        single-process table exactly."""
+        import os
+        import socket
+        import subprocess
+        import sys
+        from pathlib import Path
+
+        import numpy as np
+
+        from falcon_genome_tpu.bqsr import RecalTable
+        from falcon_genome_tpu.config import Config, Machine
+        from falcon_genome_tpu.io.bam import write_bam
+        from falcon_genome_tpu.io.dna import decode_seq
+        from falcon_genome_tpu.io.fasta import write_fasta
+        from falcon_genome_tpu.io.sam import (SamHeader, SamRecord,
+                                              cigar_from_str)
+        from falcon_genome_tpu.stages.bqsr import run_baserecal
+
+        rng = np.random.default_rng(17)
+        G, L = 12_000, 80
+        ref = rng.integers(0, 4, G).astype(np.uint8)
+        recs = []
+        for i in range(600):
+            pos = int(rng.integers(0, G - L))
+            seq = ref[pos:pos + L].copy()
+            seq = np.where(rng.random(L) < 0.03, (seq + 1) % 4, seq)
+            q = rng.integers(10, 41, L)
+            r = SamRecord(f"r{i}", 0, 0, pos, 60,
+                          cigar_from_str(f"{L}M"), seq=decode_seq(seq),
+                          qual="".join(chr(int(x) + 33) for x in q))
+            r.set_tag("RG", "Z", "rgA")
+            recs.append(r)
+        recs.sort(key=lambda r: r.pos)
+        write_fasta(tmp_path / "ref.fa", {"chr1": decode_seq(ref)})
+        write_bam(tmp_path / "in.bam",
+                  SamHeader(contigs=[("chr1", G)],
+                            read_groups=[{"ID": "rgA", "SM": "s"}]),
+                  recs)
+
+        conf = Config(machine=Machine(2, 4), environ={},
+                      load_files=False)
+        conf.set("gatk.ncontigs", 6)
+        conf.set("log_dir", str(tmp_path / "log1p"))
+        single = tmp_path / "single.recal.npz"
+        run_baserecal(conf, str(tmp_path / "ref.fa"),
+                      str(tmp_path / "in.bam"), str(single), force=True)
+        expect = RecalTable.load(str(single))
+
+        with socket.socket() as s:
+            s.bind(("localhost", 0))
+            port = s.getsockname()[1]
+        coord = f"localhost:{port}"
+        worker = str(Path(__file__).parent / "distproc_bqsr_worker.py")
+        env = dict(os.environ)
+        env.pop("XLA_FLAGS", None)
+        procs = [subprocess.Popen(
+            [sys.executable, worker, str(i), coord, str(tmp_path)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env)
+            for i in range(2)]
+        for i, p in enumerate(procs):
+            out, _ = p.communicate(timeout=600)
+            txt = out.decode(errors="replace")
+            assert p.returncode == 0, f"process {i} failed:\n{txt}"
+            assert f"DISTBQSR {i} OK" in txt
+            assert "3 local to process" in txt
+        got = RecalTable.load(str(tmp_path / "dist.recal.npz"))
+        for name in ("qual_obs", "qual_err", "cycle_obs", "cycle_err",
+                     "ctx_obs", "ctx_err"):
+            assert np.array_equal(getattr(got, name),
+                                  getattr(expect, name)), name
