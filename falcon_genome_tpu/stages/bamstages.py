@@ -325,7 +325,9 @@ def _stream_markdup_inner(parts, output, rg_to_lib, remove_dups,
     for pi, part in enumerate(parts):
         h_, cols = read_bam_columns(part)
         header = header or h_
-        if P1 is None:
+        if P1 is None and (len(cols) or pi == len(parts) - 1):
+            # estimate from the first NON-EMPTY bucket (an empty first
+            # bucket would collapse P1 to 1 regardless of input size)
             sz0 = max(Path(part).stat().st_size, 1)
             est_records = int(len(cols) * (total_in / sz0)) + 1
             est_scan = est_records * _SCAN_DT.itemsize
@@ -346,13 +348,14 @@ def _stream_markdup_inner(parts, output, rg_to_lib, remove_dups,
         rows["qsum"] = scan["qsum"]
         rows["gidx"] = np.arange(base, base + n, dtype=np.int64)
         rows["mapped"] = scan["mapped"]
-        part_of = (scan["h"].astype(np.uint64)
-                   * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(40)
-        part_of = (part_of % np.uint64(P1)).astype(np.int64)
-        for i in range(P1):
-            sel = rows[part_of == i]
-            if len(sel):
-                p1_files[i].write(sel.tobytes())
+        if n:   # P1 may still be deferred while leading buckets are empty
+            part_of = (scan["h"].astype(np.uint64)
+                       * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(40)
+            part_of = (part_of % np.uint64(P1)).astype(np.int64)
+            for i in range(P1):
+                sel = rows[part_of == i]
+                if len(sel):
+                    p1_files[i].write(sel.tobytes())
         # name sidecar: (offset, length) per record + the raw blob
         no = cols.name_off.astype(np.int64)
         ln = cols.fixed[:, _F_LNAME].astype(np.int64)

@@ -835,7 +835,7 @@ void fg_bqsr_hist(
           const uint8_t base = seq[so + qpos];
           int32_t q = qual[so + qpos];
           if (base > 3 || q < MINQ) continue;
-          if (rpos >= tlen) continue;               // past contig end
+          if (rpos < 0 || rpos >= tlen) continue;   // outside the contig
           const int64_t gpos = toff + rpos;
           if (known && known[gpos]) continue;
           if (q >= MAXQ) q = MAXQ - 1;              // deterministic top bin
