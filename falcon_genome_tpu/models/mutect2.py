@@ -246,20 +246,22 @@ class Mutect2:
         p = self.params
         regions = find_active_regions(tumor, ref, start, end, p.active)
 
-        def usable(recs, rstart, rend):
-            out = [r for r in recs
-                   if not r.is_unmapped and not r.is_duplicate
-                   and not (r.flag & 0x900) and r.mapq >= p.min_mapq
-                   and r.pos < rend and r.end_pos > rstart
-                   and r.seq not in ("*", "")]
-            return out[:p.max_reads_per_region]
+        # region→read selection via the indexed selector (one vectorized
+        # pass + per-region binary search); the per-region `for r in
+        # recs` rescan was O(regions × records) — 20M+ end_pos calls
+        # per WGS shard, 75% of the mutect2 wall
+        from .haplotypecaller import ReadSelector
+        t_sel = ReadSelector(tumor, p.min_mapq) if tumor else None
+        n_sel = ReadSelector(normal, p.min_mapq) if normal else None
 
         staged = []
         for rstart, rend in regions:
-            t_reads = usable(tumor, rstart, rend)
+            t_reads = (t_sel(rstart, rend, p.max_reads_per_region)
+                       if t_sel is not None else [])
             if not t_reads:
                 continue
-            n_reads = usable(normal, rstart, rend) if normal else []
+            n_reads = (n_sel(rstart, rend, p.max_reads_per_region)
+                       if n_sel is not None else [])
             region_ref = ref[rstart:rend]
             clipped = []
             for rec in t_reads + n_reads:
