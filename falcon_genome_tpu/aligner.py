@@ -435,11 +435,29 @@ class Alignment:
 def _edit_distance(read: np.ndarray, window: np.ndarray, res: SWResult) -> int:
     """NM tag: mismatches + gap bases along the aligned path.
 
-    Vectorized over the whole CIGAR: a 10 kb noisy long read carries
-    hundreds of ops, and per-op numpy slice compares were ~1 ms/read."""
+    Two regimes: short CIGARs (Illumina reads, a handful of ops) walk a
+    plain loop; long CIGARs (noisy long reads, hundreds of ops) run the
+    vectorized gather — each is ~10× the other's cost in its regime."""
     nc = len(res.cigar)
     if nc == 0:
         return 0
+    if nc <= 16:
+        nm = 0
+        i, j = 0, res.ref_start
+        for op, n in res.cigar:
+            if op == CIGAR_M:
+                nm += int((read[i:i + n] != window[j:j + n]).sum())
+                i += n
+                j += n
+            elif op == CIGAR_I:
+                nm += n
+                i += n
+            elif op == CIGAR_D:
+                nm += n
+                j += n
+            elif op == CIGAR_S:
+                i += n
+        return nm
     ops = np.fromiter((op for op, _ in res.cigar), np.int32, nc)
     lens = np.fromiter((n for _, n in res.cigar), np.int64, nc)
     di = np.where((ops == CIGAR_M) | (ops == CIGAR_I) | (ops == CIGAR_S),
