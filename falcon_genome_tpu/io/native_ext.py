@@ -98,6 +98,12 @@ def load() -> ctypes.CDLL | None:
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_void_p]
+        lib.fg_minimizers_batch.restype = None
+        lib.fg_minimizers_batch.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p]
         lib.fg_bqsr_apply.restype = None
         lib.fg_bqsr_apply.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
@@ -259,6 +265,33 @@ def minimizers(codes: np.ndarray, k: int, w: int):
                             out_h.ctypes.data, out_p.ctypes.data,
                             out_s.ctypes.data)
     return out_h[:cnt], out_p[:cnt], out_s[:cnt].astype(bool)
+
+
+def minimizers_batch(codes2d: np.ndarray, lens: np.ndarray, k: int,
+                     w: int):
+    """Minimizers for a whole (n_reads, stride) batch in ONE native call
+    (threaded across reads).  Returns (hashes, positions, strands,
+    offs, counts): read i's entries are the first counts[i] at
+    offs[i].  None without the lib."""
+    lib = load()
+    if lib is None:
+        return None
+    codes2d = np.ascontiguousarray(codes2d, np.uint8)
+    lens32 = np.ascontiguousarray(lens, np.int32)
+    n = len(lens32)
+    cap = np.maximum(lens32.astype(np.int64) - k + 1, 0)
+    offs = np.zeros(n + 1, np.int64)
+    np.cumsum(cap, out=offs[1:])
+    total = int(offs[-1])
+    out_h = np.empty(total, np.uint64)
+    out_p = np.empty(total, np.int64)
+    out_s = np.empty(total, np.uint8)
+    counts = np.zeros(n, np.int64)
+    lib.fg_minimizers_batch(
+        codes2d.ctypes.data, codes2d.shape[1], lens32.ctypes.data, n,
+        k, w, offs.ctypes.data, out_h.ctypes.data, out_p.ctypes.data,
+        out_s.ctypes.data, counts.ctypes.data)
+    return out_h, out_p, out_s, offs, counts
 
 
 def sw_traceback_batch(ptr: np.ndarray, scores: np.ndarray,

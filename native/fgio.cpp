@@ -393,6 +393,17 @@ static int64_t minimizer_windows_range(const uint64_t* h,
 // Returns the count.  Large inputs fan the hash pass and the window pass
 // over threads (output is bit-identical to the serial scan: each window
 // chunk seeds its dedup state from the previous window's argmin).
+// Batched minimizer extraction: one call per read batch instead of one
+// ctypes round-trip per read (~17 µs each — 0.7 s per 40k-read align
+// batch).  codes is a (n_reads, stride) row-major matrix; outputs are
+// written at out_offs[i] (the caller's per-read capacity prefix sums,
+// len n_reads+1) and out_counts[i] receives each read's count.
+void fg_minimizers_batch(const uint8_t* codes, int64_t stride,
+                         const int32_t* lens, int64_t n_reads,
+                         int32_t k, int32_t w, const int64_t* out_offs,
+                         uint64_t* out_hash, int64_t* out_pos,
+                         uint8_t* out_strand, int64_t* out_counts);
+
 int64_t fg_minimizers(const uint8_t* codes, int64_t n, int k, int w,
                       uint64_t* out_hash, int64_t* out_pos,
                       uint8_t* out_strand) {
@@ -471,6 +482,35 @@ int64_t fg_minimizers(const uint8_t* codes, int64_t n, int k, int w,
     count += cnt[t];
   }
   return count;
+}
+
+void fg_minimizers_batch(const uint8_t* codes, int64_t stride,
+                         const int32_t* lens, int64_t n_reads,
+                         int32_t k, int32_t w, const int64_t* out_offs,
+                         uint64_t* out_hash, int64_t* out_pos,
+                         uint8_t* out_strand, int64_t* out_counts) {
+  int nthreads = (int)std::thread::hardware_concurrency();
+  if (nthreads < 1) nthreads = 1;
+  if (nthreads > 8) nthreads = 8;
+  auto work = [&](int64_t r0, int64_t r1) {
+    for (int64_t r = r0; r < r1; r++) {
+      out_counts[r] = fg_minimizers(
+          codes + r * stride, lens[r], k, w, out_hash + out_offs[r],
+          out_pos + out_offs[r], out_strand + out_offs[r]);
+    }
+  };
+  if (nthreads <= 1 || n_reads < 64) {
+    work(0, n_reads);
+    return;
+  }
+  std::vector<std::thread> ts;
+  int64_t per = (n_reads + nthreads - 1) / nthreads;
+  for (int t = 0; t < nthreads; t++) {
+    int64_t s0 = t * per, s1 = std::min(n_reads, s0 + per);
+    if (s0 >= s1) break;
+    ts.emplace_back(work, s0, s1);
+  }
+  for (auto& th : ts) th.join();
 }
 
 // ---------------------------------------------------------------------------
