@@ -70,7 +70,9 @@ def _pairhmm_inputs(rng):
 def bench_pairhmm(jax, jnp, params, args):
     """Production HTC configuration: per-base qual tile + scalar
     ins/del/gcp phreds (45/45/10) — the scalar-transition kernel, exactly
-    what ``pairhmm_logp_pairs`` dispatches for HaplotypeCaller/Mutect2."""
+    what ``pairhmm_logp_pairs`` dispatches for HaplotypeCaller/Mutect2.
+
+    Returns (gcups, per_call_seconds)."""
     from falcon_genome_tpu.ops.pairhmm import (_pairhmm_device_sc,
                                                _pairhmm_jax)
 
@@ -91,7 +93,7 @@ def bench_pairhmm(jax, jnp, params, args):
                                  jnp.zeros((B,), jnp.float32))
 
     per_call = _timed_loop(loop, args, N_INNER)
-    return float(B) * R_REAL * H_REAL / per_call / 1e9
+    return float(B) * R_REAL * H_REAL / per_call / 1e9, per_call
 
 
 def bench_pairhmm_mesh(jax, jnp, params, args):
@@ -226,7 +228,7 @@ def bench_pallas_fma_ceiling(jax, jnp):
     x = jnp.ones((R, B), jnp.float32)
     per_call = _timed_loop(loop, (x,), N_INNER)
     flops = 2.0 * CHAINS * T * nblocks * R * LANES
-    return flops / per_call / 1e9
+    return flops / per_call / 1e9, per_call
 
 
 # Arithmetic flops per executed cell per diagonal in the Pallas kernel
@@ -240,6 +242,61 @@ def bench_pallas_fma_ceiling(jax, jnp):
 # (int compares/selects of the emission prior and the cross-sublane
 # shifts occupy issue slots but are not flops — they are why mfu < 1.)
 KERNEL_FLOPS_PER_CELL = 15
+
+
+# Vector-issue slots per executed substep, per (BUCKET_R, 128) tile-op,
+# counted from the emitted _pairhmm_kernel_sc substep with loads and
+# stores counted as slots — the SAME accounting the twin uses (each twin
+# element update x = x*a + b is load + FMA + store = 3 slots).  The
+# kernel is issue-bound, not flop-bound (docs/ANALYSIS_pairhmm.md §2), so
+# slot utilization vs the twin's measured slot rate is the gated metric
+# for BASELINE.md's "≥80% of roofline" row.
+#
+#   hapd shift-in (load, shift, store)                  3
+#   emission (read ld, eq, ge, is_n ld, or, or)         6
+#   prior (match ld, mismatch ld, select)               3
+#   I read-out (w ld)                                   1
+#   M update (v ld, mul)                                2
+#   D update (m1 ld, mul, d1 ld, FMA)                   4
+#   row-accumulate (mask cmp+mul, add, mul,
+#                   acc ld, add, acc st)                7
+#   V state (mul, add, FMA, shift, store)               5
+#   W state (mul, FMA, shift, store)                    4
+#   M1/D1 carry stores                                  2
+#   ---------------------------------------------------------
+#   total                                              37
+# (the per-128-diagonal rescale block amortizes to <0.3 slots/substep
+# and is not counted; (1,B) row ops are 1/20th of a tile-op and are
+# folded into the row-accumulate line)
+KERNEL_SLOTS_PER_SUBSTEP = 37
+
+
+def pairhmm_issue_util(pairhmm_per_call: float,
+                       twin_per_call: float) -> float:
+    """Vector-issue slot utilization: kernel slots/s ÷ twin slots/s.
+
+    Both rates count element-wise slots (load/ALU/store each = 1 slot
+    per element lane).  The twin executes CHAINS × 3 slots per element
+    per trip over the same (BUCKET_R, 128) tiles and trip count, so the
+    per-element basis divides out; the twin's measured rate is the
+    chip's streaming issue ceiling for this tile shape
+    (docs/ANALYSIS_pairhmm.md §2: the kernel sustains ~1.4 ALU
+    vreg-ops/cycle and dual-issues its memory traffic — this metric
+    scores the *total* slot stream against the twin's)."""
+    LANES = 128
+    nblocks = B // LANES
+    # dynamic diagonal bound: the kernel runs nsteps = (dmax-2)//2 + 1
+    # unrolled-by-2 steps, dmax = max(rlen + hlen) = R_REAL + H_REAL here
+    dmax = R_REAL + H_REAL
+    substeps = 2 * min(max((dmax - 2) // 2 + 1, 1),
+                       (BUCKET_R + BUCKET_H) // 2)
+    kernel_slots = (nblocks * substeps * KERNEL_SLOTS_PER_SUBSTEP
+                    * BUCKET_R * LANES)
+    # twin (bench_pallas_fma_ceiling): CHAINS chains × T trips × 3 slots
+    T = (BUCKET_R + BUCKET_H) // 2
+    twin_slots = nblocks * T * 64 * 3 * BUCKET_R * LANES
+    return ((kernel_slots / pairhmm_per_call)
+            / (twin_slots / twin_per_call))
 
 
 def pairhmm_mfu(gcups: float, ceiling_gflops: float) -> float:
@@ -392,7 +449,7 @@ def main() -> None:
     rng = np.random.default_rng(0)
     args = _pairhmm_inputs(rng)
 
-    gcups = bench_pairhmm(jax, jnp, params, args)
+    gcups, pairhmm_per_call = bench_pairhmm(jax, jnp, params, args)
 
     extras = {}
     try:
@@ -414,9 +471,14 @@ def main() -> None:
         print(f"# align extra failed: {e!r}", file=sys.stderr)
     try:
         if backend == "tpu":
-            ceil = bench_pallas_fma_ceiling(jax, jnp)
+            ceil, twin_per_call = bench_pallas_fma_ceiling(jax, jnp)
             extras["pallas_fma_ceiling_gflops"] = round(ceil, 1)
             extras["pairhmm_mfu"] = round(pairhmm_mfu(gcups, ceil), 3)
+            util = pairhmm_issue_util(pairhmm_per_call, twin_per_call)
+            extras["pairhmm_issue_util"] = round(util, 3)
+            if util < 0.8:
+                print(f"# GATE: pairhmm_issue_util {util:.3f} < 0.8 "
+                      "(BASELINE.md north-star row 2)", file=sys.stderr)
     except Exception as e:
         print(f"# roofline extra failed: {e!r}", file=sys.stderr)
     try:
