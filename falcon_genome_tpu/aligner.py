@@ -26,6 +26,7 @@ import dataclasses
 import numpy as np
 
 from .io.dna import BASE_N, revcomp_codes
+from .io.dna import _COMP_LUT as _COMP_LUT_A
 from .io.sam import (
     CIGAR_D, CIGAR_I, CIGAR_M, CIGAR_S,
     FLAG_DUP, FLAG_MATE_REVERSE, FLAG_MATE_UNMAPPED, FLAG_PAIRED,
@@ -314,18 +315,40 @@ def find_candidates(read_codes: np.ndarray, index: MinimizerIndex,
     return cands[:params.max_candidates]
 
 
-def find_candidates_batch(codes: np.ndarray, lengths: np.ndarray,
-                          index: MinimizerIndex, params: AlignerParams
-                          ) -> list[list[Candidate]]:
-    """Vectorized find_candidates across a whole read batch.
+def candidate_arrays(codes: np.ndarray, lengths: np.ndarray,
+                     index: MinimizerIndex, params: AlignerParams
+                     ) -> tuple[np.ndarray, np.ndarray, np.ndarray,
+                                np.ndarray, np.ndarray]:
+    """Array-native find_candidates across a whole read batch.
 
     Same semantics as mapping find_candidates over the rows (including
     seed-cluster tie-breaking), but with ONE index lookup and ONE
     lexsort-based clustering pass over all reads' seed hits instead of a
-    per-read python loop."""
+    per-read python loop.  Returns parallel candidate arrays
+    ``(read, is_rev, gdiag, nseeds, span)`` ordered by (read, rank) —
+    no per-candidate python objects (the object path cost ~0.2 s per
+    8k-read batch at WGS scale)."""
     k, w = index.params.k, index.params.w
     B = codes.shape[0]
-    out: list[list[Candidate]] = [[] for _ in range(B)]
+    empty = (np.zeros(0, np.int32), np.zeros(0, bool),
+             np.zeros(0, np.int64), np.zeros(0, np.int64),
+             np.zeros(0, np.int64))
+
+    # fused native pass: minimizers + galloping index merge + band
+    # clustering + top-K in one threaded C++ call (fg_seed_and_chain)
+    from .io import native_ext
+    nat_sc = native_ext.seed_and_chain(
+        codes, np.asarray(lengths, np.int32), k, w, index.hashes,
+        index.positions, index.strands, index.params.max_hits,
+        params.diag_band, params.min_seeds, params.max_candidates)
+    if nat_sc is not None:
+        s_diag, s_rev, s_nseeds, s_span, s_counts = nat_sc
+        K = params.max_candidates
+        mask = np.arange(K)[None, :] < s_counts[:, None]
+        c_read = np.repeat(np.arange(B, dtype=np.int32),
+                           s_counts.astype(np.int64))
+        return (c_read, s_rev[mask].astype(bool), s_diag[mask],
+                s_nseeds[mask].astype(np.int64), s_span[mask])
 
     # whole-batch minimizers: one native call threaded across reads
     # (40k per-read ctypes round-trips were ~0.7 s/batch)
@@ -334,7 +357,7 @@ def find_candidates_batch(codes: np.ndarray, lengths: np.ndarray,
     if nat is not None:
         out_h, out_p, out_s, offs, counts = nat
         if int(counts.sum()) == 0:
-            return out
+            return empty
         idx = (np.repeat(offs[:-1], counts)
                + np.arange(int(counts.sum()))
                - np.repeat(np.cumsum(counts) - counts, counts))
@@ -353,7 +376,7 @@ def find_candidates_batch(codes: np.ndarray, lengths: np.ndarray,
                 rss.append(rs)
                 rids.append(np.full(len(h), b, np.int32))
         if not hs:
-            return out
+            return empty
         H = np.concatenate(hs)
         RP = np.concatenate(rps)
         RS = np.concatenate(rss)
@@ -365,7 +388,7 @@ def find_candidates_batch(codes: np.ndarray, lengths: np.ndarray,
     counts = np.where(counts > index.params.max_hits, 0, counts)
     total = int(counts.sum())
     if total == 0:
-        return out
+        return empty
     qidx = np.repeat(np.arange(len(H)), counts)
     offs = np.concatenate([[0], np.cumsum(counts)[:-1]])
     flat = np.repeat(lo, counts) + (np.arange(total) -
@@ -406,7 +429,7 @@ def find_candidates_batch(codes: np.ndarray, lengths: np.ndarray,
 
     keep = lens_g >= params.min_seeds
     if not keep.any():
-        return out
+        return empty
     med, span, lens_g = med[keep], span[keep], lens_g[keep]
     grp_read, grp_rev = grp_read[keep], grp_rev[keep]
 
@@ -422,10 +445,25 @@ def find_candidates_batch(codes: np.ndarray, lengths: np.ndarray,
     rank = np.arange(len(order2)) - np.repeat(
         grp_start, np.diff(np.concatenate([grp_start, [len(order2)]])))
     sel = order2[rank < params.max_candidates]
-    for g in sel:
-        out[int(grp_read[g])].append(Candidate(
-            gdiag=int(med[g]), is_rev=bool(grp_rev[g]),
-            nseeds=int(lens_g[g]), span=int(span[g])))
+    # order2 sorts primary by read, then by rank — sel keeps that order,
+    # so the arrays come out grouped by read with per-read rank ascending
+    return (grp_read[sel].astype(np.int32), grp_rev[sel], med[sel],
+            lens_g[sel].astype(np.int64), span[sel])
+
+
+def find_candidates_batch(codes: np.ndarray, lengths: np.ndarray,
+                          index: MinimizerIndex, params: AlignerParams
+                          ) -> list[list[Candidate]]:
+    """find_candidates over a batch (object form of candidate_arrays;
+    tests assert equality with the per-read path)."""
+    B = codes.shape[0]
+    out: list[list[Candidate]] = [[] for _ in range(B)]
+    c_read, c_rev, c_diag, c_nseeds, c_span = candidate_arrays(
+        codes, lengths, index, params)
+    for i in range(len(c_read)):
+        out[int(c_read[i])].append(Candidate(
+            gdiag=int(c_diag[i]), is_rev=bool(c_rev[i]),
+            nseeds=int(c_nseeds[i]), span=int(c_span[i])))
     return out
 
 
@@ -446,6 +484,61 @@ class Alignment:
     cigar: Cigar = dataclasses.field(default_factory=list)
     nm: int = 0
     read_len: int = 0
+
+
+@dataclasses.dataclass
+class AlignmentBatch:
+    """Array-native alignment results for a batch of reads — the columnar
+    twin of ``list[Alignment]`` (lane order = read order).  The hot
+    emission path consumes these arrays directly; ``to_alignments``
+    materializes objects only for the record-level API."""
+    mapped: np.ndarray       # (N,) bool
+    tid: np.ndarray          # (N,) int64
+    pos: np.ndarray          # (N,) int64 contig-local leftmost
+    is_rev: np.ndarray       # (N,) bool
+    score: np.ndarray       # (N,) int64
+    sub: np.ndarray          # (N,) int64
+    mapq: np.ndarray         # (N,) int64
+    nm: np.ndarray           # (N,) int64
+    read_len: np.ndarray     # (N,) int64
+    ops: np.ndarray          # (N, max_ops) int32 CIGAR ops (SAM numeric)
+    lens: np.ndarray         # (N, max_ops) int32 CIGAR op lengths
+    nc: np.ndarray           # (N,) int32 op counts (0 for unmapped)
+
+    def __len__(self) -> int:
+        return len(self.mapped)
+
+    def to_alignments(self) -> list[Alignment]:
+        out: list[Alignment] = []
+        for i in range(len(self.mapped)):
+            if not self.mapped[i]:
+                out.append(Alignment(mapped=False,
+                                     read_len=int(self.read_len[i])))
+                continue
+            n = int(self.nc[i])
+            cigar = list(zip(self.ops[i, :n].tolist(),
+                             self.lens[i, :n].tolist()))
+            out.append(Alignment(
+                True, int(self.tid[i]), int(self.pos[i]),
+                bool(self.is_rev[i]), int(self.score[i]),
+                int(self.sub[i]), int(self.mapq[i]), cigar,
+                int(self.nm[i]), int(self.read_len[i])))
+        return out
+
+    def set_lane(self, i: int, a: Alignment) -> None:
+        """Patch one lane from an Alignment (mate-rescue path)."""
+        self.mapped[i] = a.mapped
+        self.tid[i] = a.tid
+        self.pos[i] = a.pos
+        self.is_rev[i] = a.is_rev
+        self.score[i] = a.score
+        self.sub[i] = a.sub_score
+        self.mapq[i] = a.mapq
+        self.nm[i] = a.nm
+        n = min(len(a.cigar), self.ops.shape[1])
+        self.nc[i] = n
+        for t in range(n):
+            self.ops[i, t], self.lens[i, t] = a.cigar[t]
 
 
 def _edit_distance(read: np.ndarray, window: np.ndarray, res: SWResult) -> int:
@@ -491,6 +584,70 @@ def _edit_distance(read: np.ndarray, window: np.ndarray, res: SWResult) -> int:
         jj = np.repeat(j0[m], ml) + off
         nm += int((read[ii] != window[jj]).sum())
     return nm
+
+
+def _nm_batch(codes: np.ndarray, lengths: np.ndarray, rev: np.ndarray,
+              gstart: np.ndarray, ref_start: np.ndarray, genome: np.ndarray,
+              ops: np.ndarray, lens: np.ndarray, nc: np.ndarray,
+              sel: np.ndarray) -> np.ndarray:
+    """Vectorized ``_edit_distance`` over the selected (mapped) lanes.
+
+    One flattened pass over all lanes' CIGAR ops: per-op read/window
+    offsets by prefix sums, M-run mismatches by a single oriented-read +
+    genome gather.  Bit-identical to the per-read loop (tests assert)."""
+    nm = np.zeros(len(codes), np.int64)
+    if not len(sel):
+        return nm
+    nc_s = nc[sel].astype(np.int64)
+    mask = np.arange(ops.shape[1])[None, :] < nc_s[:, None]
+    ops_f = ops[sel][mask].astype(np.int64)
+    lens_f = lens[sel][mask].astype(np.int64)
+    n_ops = len(ops_f)
+    if n_ops == 0:
+        return nm
+    rec = np.repeat(np.arange(len(sel)), nc_s)
+    starts = np.cumsum(nc_s) - nc_s               # first-op index per rec
+    di = np.where((ops_f == CIGAR_M) | (ops_f == CIGAR_I)
+                  | (ops_f == CIGAR_S), lens_f, 0)
+    dj = np.where((ops_f == CIGAR_M) | (ops_f == CIGAR_D), lens_f, 0)
+    ci = np.cumsum(di) - di
+    cj = np.cumsum(dj) - dj
+    has = nc_s > 0
+    i0 = ci - np.repeat(ci[starts[has]], nc_s[has])
+    j0 = cj - np.repeat(cj[starts[has]], nc_s[has])
+    nm_sel = np.bincount(
+        rec, weights=np.where((ops_f == CIGAR_I) | (ops_f == CIGAR_D),
+                              lens_f, 0), minlength=len(sel))
+    m = ops_f == CIGAR_M
+    if m.any():
+        ml = lens_f[m]
+        rec_m = rec[m]
+        tot = int(ml.sum())
+        off = np.arange(tot) - np.repeat(np.cumsum(ml) - ml, ml)
+        base_rec = np.repeat(rec_m, ml)
+        rows = sel[base_rec]
+        ii = np.repeat(i0[m], ml) + off           # oriented read coord
+        gj = np.repeat(gstart[sel][rec_m] + ref_start[sel][rec_m]
+                       + j0[m], ml) + off
+        Lr = lengths[rows]
+        rrev = rev[rows]
+        col = np.where(rrev, Lr - 1 - ii, ii)
+        rb = codes[rows, col]
+        rb = np.where(rrev, _COMP_LUT_A[rb], rb)
+        mism = rb != genome[gj]
+        nm_sel += np.bincount(base_rec, weights=mism, minlength=len(sel))
+    nm[sel] = nm_sel.astype(np.int64)
+    return nm
+
+
+def _mapq_batch(score: np.ndarray, sub: np.ndarray, read_len: np.ndarray,
+                match: int) -> np.ndarray:
+    """Vectorized ``_mapq`` (identical rounding/damping semantics)."""
+    best = np.maximum(read_len * match, 1).astype(np.float64)
+    q = 6.02 * (score - sub)
+    q = q * np.minimum(1.0, score / best)
+    out = np.clip(np.round(q), 0, 60).astype(np.int64)
+    return np.where((score <= 0) | (sub >= score), 0, out)
 
 
 def _mapq(score: int, sub: int, read_len: int, match: int) -> int:
@@ -561,30 +718,28 @@ class AlignerEngine:
 
     def _build_jobs(self, codes: np.ndarray, lengths: np.ndarray):
         """Candidate jobs for every read: parallel arrays + per-read row
-        slices (jobs of read b occupy rows slice_of[b]:slice_of[b+1])."""
+        slices (jobs of read b occupy rows slice_of[b]:slice_of[b+1]).
+
+        Fully array-native: candidate_arrays comes back grouped by read,
+        so the job fields are elementwise maps over it (the per-read
+        python loop here was ~20% of the serial engine wall)."""
         p = self.params
         B = codes.shape[0]
+        lengths = np.asarray(lengths)
         genome_len = len(self.index.genome)
-        all_cands = find_candidates_batch(codes, np.asarray(lengths),
-                                          self.index, p)
-        j_read, j_rev, j_rlen, j_start, j_wlen = [], [], [], [], []
+        c_read, c_rev, c_diag, _, _ = candidate_arrays(
+            codes, lengths, self.index, p)
+        gstart = np.maximum(c_diag - p.window_pad, 0)
+        wlen = np.minimum(lengths[c_read] + 2 * p.window_pad,
+                          genome_len - gstart)
+        keep = wlen > 0
+        if not keep.all():
+            c_read, c_rev = c_read[keep], c_rev[keep]
+            gstart, wlen = gstart[keep], wlen[keep]
         slice_of = np.zeros(B + 1, np.int64)
-        for b in range(B):
-            for c in all_cands[b]:
-                gstart = max(0, c.gdiag - p.window_pad)
-                wlen = min(int(lengths[b]) + 2 * p.window_pad,
-                           genome_len - gstart)
-                if wlen <= 0:
-                    continue
-                j_read.append(b)
-                j_rev.append(c.is_rev)
-                j_rlen.append(int(lengths[b]))
-                j_start.append(gstart)
-                j_wlen.append(wlen)
-            slice_of[b + 1] = len(j_read)
-        return (np.asarray(j_read, np.int32), np.asarray(j_rev, bool),
-                np.asarray(j_rlen, np.int32), np.asarray(j_start, np.int32),
-                np.asarray(j_wlen, np.int32), slice_of)
+        np.cumsum(np.bincount(c_read, minlength=B), out=slice_of[1:])
+        return (c_read, c_rev, lengths[c_read].astype(np.int32),
+                gstart.astype(np.int32), wlen.astype(np.int32), slice_of)
 
     def _ship_reads(self, codes: np.ndarray, lengths: np.ndarray):
         bucket = self._bucket()
@@ -674,7 +829,7 @@ class AlignerEngine:
                          ) -> tuple[list[Alignment], list[Alignment]]:
         """Pair-aware alignment of mate batches (bwa-mem semantics).
 
-        On top of the single-end two-phase flow:
+        On top of the single-end flow:
 
         * **joint candidate selection** — the winning (cand1, cand2) combo
           maximizes score1 + score2 with FR orientation within the insert
@@ -683,9 +838,25 @@ class AlignerEngine:
         * **mate rescue** — a fragment with one seeded mate and one
           seedless mate SWs the missing mate against the anchor's expected
           insert window on the opposite strand.
+
+        The whole score → pair-select → extend → traceback chain runs as
+        ONE device dispatch: candidate scoring, the K×K combo selection
+        and the winners' full SW never sync to the host in between (each
+        round-trip costs ~50-100 ms on the tunnel transport — round 4
+        paid two per batch).
         """
+        handle = self.align_pair_dispatch(codes1, lengths1,
+                                          codes2, lengths2)
+        ab1, ab2 = self.align_pair_collect(handle)
+        return ab1.to_alignments(), ab2.to_alignments()
+
+    def align_pair_dispatch(self, codes1, lengths1, codes2, lengths2):
+        """Async half of align_pair_batch: host seeding/chaining + ONE
+        device dispatch (enqueued, not synced).  The caller overlaps host
+        work for neighboring batches with the device computing this one,
+        then syncs via ``align_pair_collect``."""
+        from .ops.smith_waterman import PairPolicy, sw_pair_dispatch
         p = self.params
-        bucket = self._bucket()
         B1 = codes1.shape[0]
         L = max(codes1.shape[1], codes2.shape[1])
         codes = np.full((2 * B1, L), 4, codes1.dtype)
@@ -693,77 +864,61 @@ class AlignerEngine:
         codes[B1:, :codes2.shape[1]] = codes2
         lengths = np.concatenate(
             [np.asarray(lengths1), np.asarray(lengths2)])
-
         j_read, j_rev, j_rlen, j_start, j_wlen, slice_of = self._build_jobs(
             codes, lengths)
-        best: list[Alignment] = [
-            Alignment(mapped=False, read_len=int(lengths[b]))
-            for b in range(2 * B1)]
+        if not len(j_read):
+            return (codes, lengths, B1, None, None, None)
         reads8_dev = self._ship_reads(codes, lengths)
-        if len(j_read):
-            scores, _ = sw_score_gather(
-                reads8_dev, j_read, j_rev, j_rlen, self.genome_dev,
-                j_start, j_wlen, p.sw, bucket)
-        else:
-            scores = np.zeros(0, np.int64)
-        # approximate read-start position of each candidate (gdiag); exact
-        # coordinates come from the extension pass
-        j_pos = j_start.astype(np.int64) + np.minimum(p.window_pad, j_start)
+        pair = PairPolicy(
+            max_candidates=p.max_candidates, window_pad=p.window_pad,
+            min_insert=p.min_insert, max_insert=p.max_insert,
+            unpaired_penalty=p.unpaired_penalty)
+        sw_handle = sw_pair_dispatch(
+            reads8_dev, j_read, j_rev, j_rlen, self.genome_dev,
+            j_start, j_wlen, slice_of, lengths, p.sw, self._bucket(), pair)
+        return (codes, lengths, B1, (j_rev, j_rlen, j_start), sw_handle,
+                reads8_dev)
 
-        # ---- dense (fragment, K) candidate tensors; all-combo pairing ------
-        K = p.max_candidates
+    def align_pair_collect(self, handle
+                           ) -> tuple[AlignmentBatch, AlignmentBatch]:
+        """Sync half of align_pair_batch: device sync + array-native
+        result assembly (vectorized NM/mapq/tid, no per-read objects)."""
+        from .ops.smith_waterman import sw_pair_collect
+        codes, lengths, B1, jarrs, sw_handle, reads8_dev = handle
+        p = self.params
         NR = 2 * B1
-        J = len(j_read)
-        NEGK = np.int64(-1) << 40
-        d_score = np.full((NR, K), 0, np.int64)
-        d_row = np.full((NR, K), -1, np.int64)
-        d_rev = np.zeros((NR, K), bool)
-        d_pos = np.zeros((NR, K), np.int64)
-        d_rlen = np.zeros((NR, K), np.int64)
-        if J:
-            ranks = np.arange(J) - slice_of[j_read]
-            d_score[j_read, ranks] = np.where(scores > 0, scores, 0)
-            d_row[j_read, ranks] = np.where(scores > 0, np.arange(J), -1)
-            d_rev[j_read, ranks] = j_rev
-            d_pos[j_read, ranks] = j_pos
-            d_rlen[j_read, ranks] = j_rlen
-        s1, s2 = d_score[:B1], d_score[B1:]
-        rev1, rev2 = d_rev[:B1], d_rev[B1:]
-        pos1, pos2 = d_pos[:B1], d_pos[B1:]
-        rl1, rl2 = d_rlen[:B1], d_rlen[B1:]
-
-        # per-read best/second (tie → leftmost window start)
-        key = (d_score << 33) - d_pos
-        key[d_row < 0] = NEGK
-        arg_best = key.argmax(1)
-        best_score = d_score[np.arange(NR), arg_best]
-        key2 = key.copy()
-        key2[np.arange(NR), arg_best] = NEGK
-        arg2 = key2.argmax(1)
-        sub_of = np.where(key2[np.arange(NR), arg2] > NEGK,
-                          d_score[np.arange(NR), arg2], 0)
-
-        # all K×K combos: FR orientation within insert bounds
-        a_fwd = ~rev1[:, :, None]
-        span = np.where(
-            a_fwd,
-            (pos2[:, None, :] + rl2[:, None, :]) - pos1[:, :, None],
-            (pos1[:, :, None] + rl1[:, :, None]) - pos2[:, None, :])
-        ok = ((rev1[:, :, None] != rev2[:, None, :])
-              & (span >= p.min_insert) & (span <= p.max_insert)
-              & (s1[:, :, None] > 0) & (s2[:, None, :] > 0))
-        joint = np.where(ok, s1[:, :, None] + s2[:, None, :], -1)
-        jflat = joint.reshape(B1, K * K)
-        jarg = jflat.argmax(1)
-        jbest = jflat[np.arange(B1), jarg]
-        solo = (best_score[:B1] + best_score[B1:] - p.unpaired_penalty)
-        use_pair = (jbest > 0) & (jbest >= solo)
-
-        winner_row = np.where(
-            np.concatenate([use_pair, use_pair]),
-            np.concatenate([d_row[np.arange(B1), jarg // K],
-                            d_row[B1 + np.arange(B1), jarg % K]]),
-            d_row[np.arange(NR), arg_best])
+        if sw_handle is None:
+            z = np.zeros(NR, np.int64)
+            return self._split_batch(AlignmentBatch(
+                np.zeros(NR, bool), z - 1, z - 1, np.zeros(NR, bool),
+                z.copy(), z.copy(), z.copy(), z.copy(),
+                lengths.astype(np.int64), np.zeros((NR, 1), np.int32),
+                np.zeros((NR, 1), np.int32), np.zeros(NR, np.int32)), B1)
+        j_rev, j_rlen, j_start = jarrs
+        (ops_a, lens_a, nc, coords, best_h, winner_job, sub_of,
+         best_score) = sw_pair_collect(sw_handle)
+        i_f, j_f, bi, bj = (c.astype(np.int64) for c in coords)
+        mapped = best_h > 0
+        wj = np.maximum(winner_job, 0)
+        rev = j_rev[wj] & mapped
+        gstart = j_start.astype(np.int64)[wj]
+        gpos = gstart + j_f
+        tid = np.searchsorted(self.index.offsets, gpos, side="right") - 1
+        pos = gpos - self.index.offsets[tid]
+        nc = np.where(mapped, nc, 0).astype(np.int32)
+        score = np.where(mapped, best_h, 0).astype(np.int64)
+        sub = np.where(mapped, sub_of, 0).astype(np.int64)
+        ab = AlignmentBatch(
+            mapped=mapped, tid=np.where(mapped, tid, -1),
+            pos=np.where(mapped, pos, -1), is_rev=rev,
+            score=score, sub=sub,
+            mapq=_mapq_batch(score, sub, lengths.astype(np.int64),
+                             p.sw.match),
+            nm=_nm_batch(codes, lengths, rev, gstart, j_f,
+                         self.index.genome, ops_a, lens_a, nc,
+                         np.flatnonzero(mapped)),
+            read_len=lengths.astype(np.int64),
+            ops=ops_a, lens=lens_a, nc=nc)
 
         # mate rescue: fragments with exactly one seeded mate
         has1 = best_score[:B1] > 0
@@ -771,25 +926,33 @@ class AlignerEngine:
         rescue: list[tuple[int, int]] = []
         for f in np.flatnonzero(has1 ^ has2):
             weak, strong = (B1 + f, f) if has1[f] else (f, B1 + f)
-            rescue.append((int(weak), int(winner_row[strong])))
-
-        rows = winner_row[winner_row >= 0].astype(np.int64)
-        if len(rows):
-            results = sw_extend_gather(
-                reads8_dev, j_read[rows], j_rev[rows], j_rlen[rows],
-                self.genome_dev, j_start[rows], j_wlen[rows], p.sw, bucket)
-            for row, res in zip(rows, results):
-                if res.score <= 0:
-                    continue
-                b = int(j_read[row])
-                best[b] = self._alignment_from(
-                    codes, lengths, b, bool(j_rev[row]), int(j_start[row]),
-                    res, int(sub_of[b]))
-
+            rescue.append((int(weak), int(winner_job[strong])))
         if rescue:
-            self._mate_rescue(rescue, best, codes, lengths, reads8_dev,
-                              j_rev, j_rlen, j_pos, bucket)
-        return best[:B1], best[B1:]
+            j_pos = (j_start.astype(np.int64)
+                     + np.minimum(p.window_pad, j_start))
+            self._mate_rescue_batch(rescue, ab, codes, lengths, reads8_dev,
+                                    j_rev, j_rlen, j_pos, self._bucket())
+        return self._split_batch(ab, B1)
+
+    @staticmethod
+    def _split_batch(ab: AlignmentBatch, B1: int
+                     ) -> tuple[AlignmentBatch, AlignmentBatch]:
+        def half(sl):
+            return AlignmentBatch(*(getattr(ab, f.name)[sl]
+                                    for f in dataclasses.fields(
+                                        AlignmentBatch)))
+        return half(slice(None, B1)), half(slice(B1, None))
+
+    def _mate_rescue_batch(self, rescue, ab: AlignmentBatch, codes,
+                           lengths, reads8_dev, j_rev, j_rlen, j_pos,
+                           bucket) -> None:
+        best = {b: Alignment(mapped=False, read_len=int(lengths[b]))
+                for b, _ in rescue}
+        self._mate_rescue(rescue, best, codes, lengths, reads8_dev,
+                          j_rev, j_rlen, j_pos, bucket)
+        for b, a in best.items():
+            if a.mapped and not ab.mapped[b]:
+                ab.set_lane(b, a)
 
     def _mate_rescue(self, rescue, best, codes, lengths, reads8_dev,
                      j_rev, j_rlen, j_pos, bucket) -> None:
@@ -1009,8 +1172,42 @@ def _tag_blob(mapped: np.ndarray, nm: np.ndarray, score: np.ndarray,
     return blob, tag_off, tag_len
 
 
-def alignments_to_columns(b1, res1: list[Alignment], b2=None,
-                          res2: list[Alignment] | None = None,
+def _interleave_batches(ab1: AlignmentBatch, ab2: AlignmentBatch
+                        ) -> AlignmentBatch:
+    """Record-major interleave of two mate AlignmentBatches."""
+    def mix(a, b):
+        if a.ndim == 2 and a.shape[1] != b.shape[1]:
+            w = max(a.shape[1], b.shape[1])
+            a2 = np.zeros((a.shape[0], w), a.dtype)
+            a2[:, :a.shape[1]] = a
+            b2 = np.zeros((b.shape[0], w), b.dtype)
+            b2[:, :b.shape[1]] = b
+            a, b = a2, b2
+        out = np.empty((a.shape[0] + b.shape[0],) + a.shape[1:], a.dtype)
+        out[0::2] = a
+        out[1::2] = b
+        return out
+    return AlignmentBatch(*(mix(getattr(ab1, f.name), getattr(ab2, f.name))
+                            for f in dataclasses.fields(AlignmentBatch)))
+
+
+def _flatten_cigars_batch(ab: AlignmentBatch
+                          ) -> tuple[np.ndarray, np.ndarray, np.ndarray,
+                                     np.ndarray, np.ndarray]:
+    """(ops, lens, cig_off, ncigar, ref_len) from an AlignmentBatch —
+    the array twin of ``_flatten_cigars`` (unmapped lanes have nc 0)."""
+    nc = ab.nc.astype(np.int64)
+    mask = np.arange(ab.ops.shape[1])[None, :] < nc[:, None]
+    ops = ab.ops[mask].astype(np.int32)
+    lens = ab.lens[mask].astype(np.int32)
+    cig_off = np.cumsum(nc) - nc
+    contrib = np.where(mask & ((ab.ops == CIGAR_M) | (ab.ops == CIGAR_D)),
+                       ab.lens.astype(np.int64), 0)
+    ref_len = contrib.sum(axis=1)
+    return ops, lens, cig_off, nc.astype(np.int32), ref_len
+
+
+def alignments_to_columns(b1, res1, b2=None, res2=None,
                           params: AlignerParams | None = None,
                           read_group: str | None = None):
     """Vectorized make_sam_records over a whole batch → RecordColumns.
@@ -1019,17 +1216,19 @@ def alignments_to_columns(b1, res1: list[Alignment], b2=None,
     matching the record-path emission order.  Decoded records are
     identical to mapping make_sam_records over the batch (asserted by
     tests); no per-read Python objects or strings are built.
+
+    ``res1``/``res2`` are either ``list[Alignment]`` or (hot path)
+    ``AlignmentBatch`` — the array form skips the per-record scalar and
+    CIGAR flattening loops entirely.
     """
     from .io.columns import RecordColumns
     params = params or AlignerParams()
     B = len(res1)
     paired = b2 is not None and res2 is not None
+    batched = isinstance(res1, AlignmentBatch)
 
     if paired:
         N = 2 * B
-        alns: list[Alignment] = [None] * N
-        alns[0::2] = res1
-        alns[1::2] = res2
         Lmax = max(b1.codes.shape[1], b2.codes.shape[1])
         codes = np.full((N, Lmax), 4, np.uint8)
         quals = np.zeros((N, Lmax), np.uint8)
@@ -1042,19 +1241,36 @@ def alignments_to_columns(b1, res1: list[Alignment], b2=None,
         lens[1::2] = b2.lengths
     else:
         N = B
-        alns = list(res1)
         codes = b1.codes
         quals = b1.quals
         lens = np.asarray(b1.lengths, np.int64)
 
-    s = _aln_scalars(alns)
-    mapped = s[:, 0].astype(bool)
-    tid = np.where(mapped, s[:, 1], -1)
-    pos = np.where(mapped, s[:, 2], -1)
-    rev = s[:, 3].astype(bool)
-    mapq = np.where(mapped, s[:, 4], 0)
-
-    ops, clens, cig_off, ncigar, ref_len = _flatten_cigars(alns, mapped)
+    if batched:
+        ab = _interleave_batches(res1, res2) if paired else res1
+        mapped = ab.mapped
+        tid = np.where(mapped, ab.tid, -1)
+        pos = np.where(mapped, ab.pos, -1)
+        rev = ab.is_rev
+        mapq = np.where(mapped, ab.mapq, 0)
+        s = np.empty((N, 8), np.int64)
+        s[:, 5] = ab.score
+        s[:, 6] = ab.sub
+        s[:, 7] = ab.nm
+        ops, clens, cig_off, ncigar, ref_len = _flatten_cigars_batch(ab)
+    else:
+        if paired:
+            alns: list[Alignment] = [None] * N
+            alns[0::2] = res1
+            alns[1::2] = res2
+        else:
+            alns = list(res1)
+        s = _aln_scalars(alns)
+        mapped = s[:, 0].astype(bool)
+        tid = np.where(mapped, s[:, 1], -1)
+        pos = np.where(mapped, s[:, 2], -1)
+        rev = s[:, 3].astype(bool)
+        mapq = np.where(mapped, s[:, 4], 0)
+        ops, clens, cig_off, ncigar, ref_len = _flatten_cigars(alns, mapped)
     end_pos = np.where(ncigar > 0, pos + ref_len, pos + 1)
 
     if paired:

@@ -98,6 +98,15 @@ def load() -> ctypes.CDLL | None:
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_void_p]
+        lib.fg_seed_and_chain.restype = None
+        lib.fg_seed_and_chain.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p]
         lib.fg_minimizers_batch.restype = None
         lib.fg_minimizers_batch.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
@@ -315,6 +324,35 @@ def sw_traceback_batch(ptr: np.ndarray, scores: np.ndarray,
         read_lens.ctypes.data, pos_stride, max_ops,
         out_ops.ctypes.data, out_lens.ctypes.data, out_meta.ctypes.data)
     return out_ops, out_lens, out_meta
+
+
+def seed_and_chain(codes: np.ndarray, lens: np.ndarray, k: int, w: int,
+                   idx_hash: np.ndarray, idx_pos: np.ndarray,
+                   idx_strand: np.ndarray, max_hits: int, diag_band: int,
+                   min_seeds: int, max_cands: int):
+    """Fused batch seeding + diagonal chaining (aligner.candidate_arrays
+    twin).  Returns (diag, rev, nseeds, span, counts) as (n_reads, K)
+    slot arrays + per-read counts, or None when unavailable (positions
+    must be uint32 — i.e. genomes < 4.3 Gbp)."""
+    lib = load()
+    if lib is None or idx_pos.dtype != np.uint32:
+        return None
+    codes = np.ascontiguousarray(codes, np.uint8)
+    lens = np.ascontiguousarray(lens, np.int32)
+    n = codes.shape[0]
+    K = max_cands
+    out_diag = np.zeros((n, K), np.int64)
+    out_rev = np.zeros((n, K), np.uint8)
+    out_nseeds = np.zeros((n, K), np.int32)
+    out_span = np.zeros((n, K), np.int64)
+    out_counts = np.zeros(n, np.int32)
+    lib.fg_seed_and_chain(
+        codes.ctypes.data, codes.shape[1], lens.ctypes.data, n, k, w,
+        idx_hash.ctypes.data, idx_pos.ctypes.data, idx_strand.ctypes.data,
+        len(idx_hash), max_hits, diag_band, min_seeds, K,
+        out_diag.ctypes.data, out_rev.ctypes.data, out_nseeds.ctypes.data,
+        out_span.ctypes.data, out_counts.ctypes.data)
+    return out_diag, out_rev, out_nseeds, out_span, out_counts
 
 
 def ops_rle_batch(packed: np.ndarray, max_steps: int, read_start: np.ndarray,

@@ -529,17 +529,237 @@ def sw_extend_gather(reads8_dev, read_idx, is_rev, read_lens, genome_dev,
     Bp = _pow2_lanes(B)
     meta_np = _pack_meta(read_idx, is_rev, read_lens, win_starts, win_lens,
                          Bp)
-    # traceback length bound: path steps ≤ (read rows) + (window cols)
-    # actually touched; bucket to multiples of 128 to bound compile variants
-    need = int(np.max(meta_np[_META_RLEN]) + np.max(meta_np[_META_WLEN])) + 8
-    max_steps = min(bucket.max_read_len + bucket.max_win_len,
-                    _round_up(need, 128))
+    max_steps = _traceback_steps_bound(
+        int(np.max(meta_np[_META_RLEN])), int(np.max(meta_np[_META_WLEN])),
+        params, bucket)
     fused = np.asarray(_sw_gather_full(
         reads8_dev, jnp.asarray(meta_np), genome_dev,
         params=params, bucket=bucket, max_steps=max_steps))
     packed_h, coords_h, best_h = _decode_traceback(fused, max_steps, B)
     return _results_from_packed(packed_h, max_steps, coords_h, best_h,
                                 np.asarray(read_lens))
+
+
+@dataclasses.dataclass(frozen=True)
+class PairPolicy:
+    """Static pair-selection parameters for the fused device path
+    (mirrors AlignerParams' pairing fields)."""
+    max_candidates: int = 4
+    window_pad: int = 32
+    min_insert: int = 0
+    max_insert: int = 1000
+    unpaired_penalty: int = 17
+
+
+@functools.partial(jax.jit, static_argnames=("params", "bucket", "pair",
+                                             "max_steps", "nr"))
+def _sw_pair_fused(reads8, meta_j, flat_idx, genome, *, params: SWParams,
+                   bucket: SWBucket, pair: PairPolicy, max_steps: int,
+                   nr: int):
+    """ONE device dispatch for the whole pair-alignment batch:
+
+      score-only SW over every candidate job → scatter to a dense
+      (reads, K) candidate grid → best/second per read → all-combo
+      FR-orientation pair selection → winner gather → full SW +
+      traceback on the winners.
+
+    The host previously ran the pairing between two separate dispatches,
+    paying a device round-trip (~50-100 ms on the tunnel transport) for
+    the score sync before it could launch the extension; fusing moves the
+    (cheap, K≤4-way unrolled) selection math on device so the batch costs
+    ONE round-trip.  Everything returns in one uint8 buffer: the fused
+    traceback block (op stream + coords + scores) followed by 12 rows
+    encoding (winner_job, sub_score, best_score) as LE int32 bytes.
+
+    Selection semantics replicate the round-4 host path bit-for-bit
+    (ties: higher score, then smaller window position, then candidate
+    rank; combo ties keep the first (k1, k2) in row-major order), which
+    tests assert against the reference numpy implementation.
+    """
+    i32 = jnp.int32
+    K = pair.max_candidates
+    B1 = nr // 2
+    W = bucket.max_win_len
+    Jp = meta_j.shape[1]
+
+    rlen = meta_j[_META_RLEN:_META_RLEN + 1]
+    wlen = meta_j[_META_WLEN:_META_WLEN + 1]
+    read, win = _lane_inputs(
+        reads8, meta_j[_META_READ_IDX:_META_READ_IDX + 1],
+        meta_j[_META_IS_REV:_META_IS_REV + 1], rlen, genome,
+        meta_j[_META_START:_META_START + 1], W)
+    if bucket.backend == "jax":
+        _, score, _ = _sw_scan_core(read, rlen, win, wlen, params=params,
+                                    R=bucket.max_read_len, W=W)
+    else:
+        score, _ = _sw_pallas_score(read, rlen, win, wlen, params,
+                                    interpret=bucket.backend == "interpret")
+    score = score[0]                                   # (Jp,)
+    start = meta_j[_META_START]
+    jpos = start + jnp.minimum(i32(pair.window_pad), start)
+    valid = score > 0
+
+    def scatter(vals, fill):
+        return jnp.full(nr * K, fill, i32).at[flat_idx].set(
+            vals.astype(i32), mode="drop").reshape(nr, K)
+
+    d_score = scatter(jnp.where(valid, score, 0), 0)
+    d_job = scatter(jnp.where(valid, jnp.arange(Jp, dtype=i32), -1), -1)
+    d_pos = scatter(jpos, 0)
+    d_rev = scatter(meta_j[_META_IS_REV], 0)
+    d_rlen = scatter(meta_j[_META_RLEN], 0)
+
+    # best + second-best per read by (score desc, pos asc, rank asc)
+    bs = jnp.zeros(nr, i32)
+    bp = jnp.zeros(nr, i32)
+    bjob = jnp.full(nr, -1, i32)
+    bk = jnp.full(nr, -1, i32)
+    for k in range(K):
+        s, p_, j_ = d_score[:, k], d_pos[:, k], d_job[:, k]
+        ok = j_ >= 0
+        better = ok & ((bjob < 0) | (s > bs) | ((s == bs) & (p_ < bp)))
+        bs = jnp.where(better, s, bs)
+        bp = jnp.where(better, p_, bp)
+        bjob = jnp.where(better, j_, bjob)
+        bk = jnp.where(better, k, bk)
+    ss = jnp.zeros(nr, i32)
+    sp = jnp.zeros(nr, i32)
+    sv = jnp.zeros(nr, bool)
+    for k in range(K):
+        s, p_, j_ = d_score[:, k], d_pos[:, k], d_job[:, k]
+        ok = (j_ >= 0) & (bk != k)
+        better = ok & (~sv | (s > ss) | ((s == ss) & (p_ < sp)))
+        ss = jnp.where(better, s, ss)
+        sp = jnp.where(better, p_, sp)
+        sv = sv | better
+    sub_of = jnp.where(sv, ss, 0)
+
+    # all K×K combos per fragment: FR orientation within insert bounds
+    s1, s2 = d_score[:B1], d_score[B1:]
+    rev1, rev2 = d_rev[:B1], d_rev[B1:]
+    pos1, pos2 = d_pos[:B1], d_pos[B1:]
+    rl1, rl2 = d_rlen[:B1], d_rlen[B1:]
+    jbest = jnp.full(B1, -1, i32)
+    w1 = jnp.full(B1, -1, i32)
+    w2 = jnp.full(B1, -1, i32)
+    for k1 in range(K):
+        for k2 in range(K):
+            a_fwd = rev1[:, k1] == 0
+            span = jnp.where(
+                a_fwd, (pos2[:, k2] + rl2[:, k2]) - pos1[:, k1],
+                (pos1[:, k1] + rl1[:, k1]) - pos2[:, k2])
+            ok = ((rev1[:, k1] != rev2[:, k2])
+                  & (span >= pair.min_insert) & (span <= pair.max_insert)
+                  & (s1[:, k1] > 0) & (s2[:, k2] > 0))
+            cand = jnp.where(ok, s1[:, k1] + s2[:, k2], -1)
+            better = cand > jbest
+            jbest = jnp.where(better, cand, jbest)
+            w1 = jnp.where(better, d_job[:B1, k1], w1)
+            w2 = jnp.where(better, d_job[B1:, k2], w2)
+    solo = bs[:B1] + bs[B1:] - i32(pair.unpaired_penalty)
+    use_pair = (jbest > 0) & (jbest >= solo)
+    winner_job = jnp.where(jnp.concatenate([use_pair, use_pair]),
+                           jnp.concatenate([w1, w2]), bjob)
+
+    # winner full SW + on-device traceback
+    wj = jnp.clip(winner_job, 0)
+    bad = winner_job < 0
+    rlen_w = jnp.where(bad, 0, meta_j[_META_RLEN][wj])[None, :]
+    wlen_w = jnp.where(bad, 0, meta_j[_META_WLEN][wj])[None, :]
+    read_w, win_w = _lane_inputs(
+        reads8, meta_j[_META_READ_IDX][wj][None, :],
+        meta_j[_META_IS_REV][wj][None, :], rlen_w, genome,
+        meta_j[_META_START][wj][None, :], W)
+    if bucket.backend == "jax":
+        ptrs, best, bestpos = _sw_scan_core(
+            read_w, rlen_w, win_w, wlen_w, params=params,
+            R=bucket.max_read_len, W=W)
+    else:
+        ptrs, best, bestpos = _sw_pallas_full(
+            read_w, rlen_w, win_w, wlen_w, params,
+            interpret=bucket.backend == "interpret")
+    fused = _traceback_core(ptrs, best[0], bestpos[0], max_steps=max_steps)
+
+    aux = jnp.stack([winner_job, sub_of, bs])          # (3, nr)
+    abytes = jnp.concatenate(
+        [((aux >> (8 * t)) & 0xFF).astype(jnp.uint8) for t in range(4)],
+        axis=0)                                        # (12, nr)
+    return jnp.concatenate([fused, abytes], axis=0)
+
+
+def sw_pair_dispatch(reads8_dev, j_read, j_rev, j_rlen, genome_dev,
+                     j_start, j_wlen, slice_of, read_lens,
+                     params: SWParams, bucket: SWBucket, pair: PairPolicy):
+    """Async half of the fused pair path: enqueues the device work (XLA
+    dispatch is asynchronous) and returns an opaque handle.  The caller
+    overlaps host work (next batch's seeding, previous batch's emission)
+    with the device computing this batch, then syncs via
+    ``sw_pair_collect``."""
+    NR = len(read_lens)
+    B1 = NR // 2
+    NRp = _pow2_lanes(NR)
+    H = NRp // 2           # mate2 lanes sit at [H, H+B1) after padding,
+    # so the device kernel's half-split pairing (lane f ↔ lane H+f)
+    # matches the fragment structure even when NR < NRp
+    J = len(j_read)
+    Jp = _pow2_lanes(max(J, 1))
+    K = pair.max_candidates
+    j_read = np.asarray(j_read, np.int64)
+    meta_np = _pack_meta(j_read, j_rev, j_rlen, j_start, j_wlen, Jp)
+    ranks = np.arange(J) - slice_of[j_read]
+    rid = np.where(j_read < B1, j_read, j_read + (H - B1))
+    flat = np.full(Jp, NRp * K, np.int32)            # pad rows drop
+    flat[:J] = rid * K + ranks
+    max_steps = _traceback_steps_bound(
+        int(np.max(read_lens)), int(np.max(j_wlen)) if J else 0,
+        params, bucket)
+    out_dev = _sw_pair_fused(
+        reads8_dev, jnp.asarray(meta_np), jnp.asarray(flat), genome_dev,
+        params=params, bucket=bucket, pair=pair, max_steps=max_steps,
+        nr=NRp)
+    return (out_dev, max_steps, NR, B1, H, np.asarray(read_lens))
+
+
+def sw_pair_collect(handle):
+    """Sync half of the fused pair path → array-native results.
+
+    Returns ``(ops, lens, nc, coords, best, winner_job, sub_of,
+    best_score)``: per-READ-lane CIGAR arrays ((NR, max_ops) int32 ×2 +
+    (NR,) counts), the (4, NR) path coordinates (read_start, ref_start,
+    read_end, ref_end), per-lane best scores, the winning job row
+    (-1 = unmapped), the mapq sub-score, and the best single-end score
+    (mate-rescue anchoring).  No per-lane python objects."""
+    out_dev, max_steps, NR, B1, H, read_lens = handle
+    out = np.asarray(out_dev)
+    lanes = np.concatenate([np.arange(B1), H + np.arange(B1)])
+    S4r = ((max_steps + 3) // 4 * 4) // 4
+    packed_h, coords_h, best_h = _decode_traceback(
+        out[:S4r + 12, lanes], max_steps, NR)
+    aux = out[S4r + 12:, lanes].astype(np.int32)
+    winner_job = (aux[0] | (aux[3] << 8) | (aux[6] << 16) | (aux[9] << 24))
+    sub_of = (aux[1] | (aux[4] << 8) | (aux[7] << 16) | (aux[10] << 24))
+    best_score = (aux[2] | (aux[5] << 8) | (aux[8] << 16)
+                  | (aux[11] << 24))
+    i_f, j_f, bi, bj = coords_h
+    from ..io import native_ext
+    nat = native_ext.ops_rle_batch(packed_h, max_steps, i_f, bi, best_h,
+                                   np.asarray(read_lens, np.int32))
+    if nat is not None:
+        ops_a, lens_a, nc = nat
+    else:
+        results = _results_from_packed(packed_h, max_steps, coords_h,
+                                       best_h, read_lens)
+        max_ops = 160
+        ops_a = np.zeros((NR, max_ops), np.int32)
+        lens_a = np.zeros((NR, max_ops), np.int32)
+        nc = np.zeros(NR, np.int32)
+        for b, r in enumerate(results):
+            n = min(len(r.cigar), max_ops)
+            nc[b] = n
+            for t in range(n):
+                ops_a[b, t], lens_a[b, t] = r.cigar[t]
+    return ops_a, lens_a, nc, coords_h, best_h, winner_job, sub_of, \
+        best_score
 
 
 def traceback(ptr, score, pos, read_len: int, lane: int) -> "SWResult":
@@ -745,7 +965,29 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-MAX_LANES_PER_CALL = 4096  # bounds the on-device pointer array (~0.4 GB)
+def _traceback_steps_bound(rlen_max: int, wlen_max: int, params: SWParams,
+                           bucket: SWBucket) -> int:
+    """Provable bound on the device traceback's step count.
+
+    Path steps = #M + #I + #D with #M + #I ≤ rlen.  A positive-score
+    local path has match·rlen − (go + ge·#gapbases) ≥ score > 0, so
+    #D < (match·rlen − go) / ge — for 150 bp reads at bwa scoring this
+    caps the walk at ~294 steps instead of rlen + wlen = 564, and every
+    traceback scan step costs ~0.2 ms at 8k lanes (the scan is a serial
+    per-lane HBM gather).  Rounded to 128 to bound compile variants."""
+    d_max = max(0, (rlen_max * params.match - params.gap_open
+                    - params.gap_ext) // params.gap_ext)
+    need = min(rlen_max + wlen_max, rlen_max + d_max) + 8
+    return min(bucket.max_read_len + bucket.max_win_len,
+               _round_up(need, 128))
+
+
+# Bounds the on-device pointer array (~0.8 GB int8 at 8192 lanes for the
+# aligner's 160×416 bucket — transient within one dispatch, well inside
+# HBM).  8192 lets a full 4096-pair batch's winners extend in ONE call:
+# each extra call costs a device round-trip (~50-100 ms on the tunnel
+# transport), which dominated the extend phase at 4096.
+MAX_LANES_PER_CALL = 8192
 
 
 def sw_extend_batch(reads: np.ndarray, read_lens: np.ndarray,

@@ -161,10 +161,37 @@ def _align_read_group(engine, det: SampleDetails,
             b1, res1, b2, res2, params=engine.params,
             read_group=det.read_group))
 
+    n = 0
+    if not long_mode and det.fastq2:
+        # paired short reads (the hot path): the engine's async
+        # dispatch/collect split pipelines WITHOUT threads — while the
+        # device computes batch N (one fused dispatch), this thread
+        # decodes + seeds batch N+1 and emits batch N-1's columns.
+        pending = None            # (b1, b2, handle)
+        for b1, b2 in reader:
+            n += len(b1.lengths) + len(b2.lengths)
+            h = engine.align_pair_dispatch(b1.codes, b1.lengths,
+                                           b2.codes, b2.lengths)
+            if pending is not None:
+                p1, p2, ph = pending
+                ab1, ab2 = engine.align_pair_collect(ph)
+                pending = (b1, b2, h)
+                sink.add(alignments_to_columns(
+                    p1, ab1, p2, ab2, params=engine.params,
+                    read_group=det.read_group))
+            else:
+                pending = (b1, b2, h)
+        if pending is not None:
+            p1, p2, ph = pending
+            ab1, ab2 = engine.align_pair_collect(ph)
+            sink.add(alignments_to_columns(
+                p1, ab1, p2, ab2, params=engine.params,
+                read_group=det.read_group))
+        return n
+
     # two-stage pipeline: batch N+1's device work runs in a worker thread
     # while this thread builds batch N's record columns (device waits
     # release the GIL, so host emission overlaps kernel time)
-    n = 0
     with ThreadPoolExecutor(max_workers=1) as pool:
         pending = None            # (b1, b2, future)
         for b1, b2 in reader:

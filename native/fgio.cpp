@@ -1057,6 +1057,197 @@ int64_t fg_assemble_region(
   return emit_ref_only(kmer_sizes[n_k - 1]);
 }
 
+// Fused short-read seeding + chaining over a whole batch
+// (aligner.candidate_arrays twin — that numpy path remains the
+// correctness reference; tests assert candidate-for-candidate equality).
+// One call replaces: batched minimizer extraction + sorted-probe index
+// lookup + lexsort diagonal clustering + top-K selection (~190 ms of
+// numpy per 8k-read batch at WGS scale).
+//
+//   codes (n_reads, stride) 0..4 base codes; lens per read
+//   idx_* : the MinimizerIndex arrays (hashes ASCENDING, positions
+//           uint32 global coords, strands 0/1)
+//   outputs: per-read candidate slots (n_reads, max_cands) row-major —
+//           gdiag/rev/nseeds/span + out_counts per read
+void fg_seed_and_chain(
+    const uint8_t* codes, int64_t stride, const int32_t* lens,
+    int64_t n_reads, int32_t k, int32_t w,
+    const uint64_t* idx_hash, const uint32_t* idx_pos,
+    const uint8_t* idx_strand, int64_t idx_n,
+    int32_t max_hits, int32_t diag_band, int32_t min_seeds,
+    int32_t max_cands,
+    int64_t* out_diag, uint8_t* out_rev, int32_t* out_nseeds,
+    int64_t* out_span, int32_t* out_counts) {
+  int nthreads = (int)std::thread::hardware_concurrency();
+  if (nthreads < 1) nthreads = 1;
+  if (nthreads > 8) nthreads = 8;
+
+  // ---- phase A: minimizers of every read (threaded) -------------------
+  std::vector<int64_t> cap(n_reads + 1, 0);
+  for (int64_t r = 0; r < n_reads; r++) {
+    int64_t nk = (int64_t)lens[r] - k + 1;
+    cap[r + 1] = cap[r] + (nk > 0 ? nk : 0);
+  }
+  int64_t total_cap = cap[n_reads];
+  std::vector<uint64_t> mh(total_cap);
+  std::vector<int64_t> mp(total_cap);
+  std::vector<uint8_t> ms(total_cap);
+  std::vector<int64_t> mcount(n_reads);
+  {
+    auto work = [&](int64_t r0, int64_t r1) {
+      for (int64_t r = r0; r < r1; r++)
+        mcount[r] = fg_minimizers(codes + r * stride, lens[r], k, w,
+                                  mh.data() + cap[r], mp.data() + cap[r],
+                                  ms.data() + cap[r]);
+    };
+    if (nthreads <= 1 || n_reads < 64) {
+      work(0, n_reads);
+    } else {
+      std::vector<std::thread> ts;
+      int64_t per = (n_reads + nthreads - 1) / nthreads;
+      for (int t = 0; t < nthreads; t++) {
+        int64_t r0 = t * per, r1 = std::min(n_reads, r0 + per);
+        if (r0 >= r1) break;
+        ts.emplace_back(work, r0, r1);
+      }
+      for (auto& th : ts) th.join();
+    }
+  }
+
+  // ---- phase B: flatten + sort probes by hash -------------------------
+  int64_t n_probes = 0;
+  for (int64_t r = 0; r < n_reads; r++) n_probes += mcount[r];
+  struct Probe { uint64_t h; int32_t rid; int32_t rp; uint8_t s; };
+  std::vector<Probe> probes(n_probes);
+  {
+    int64_t o = 0;
+    for (int64_t r = 0; r < n_reads; r++)
+      for (int64_t i = 0; i < mcount[r]; i++, o++)
+        probes[o] = {mh[cap[r] + i], (int32_t)r, (int32_t)mp[cap[r] + i],
+                     ms[cap[r] + i]};
+  }
+  std::sort(probes.begin(), probes.end(),
+            [](const Probe& a, const Probe& b) { return a.h < b.h; });
+
+  // ---- phase C: merge-walk against the sorted index (galloping) -------
+  // per-probe hit range [lo, lo+cnt); cnt 0 when over max_hits
+  std::vector<int64_t> p_lo(n_probes), p_cnt(n_probes);
+  {
+    int64_t lo = 0;
+    for (int64_t i = 0; i < n_probes; i++) {
+      uint64_t h = probes[i].h;
+      if (i > 0 && probes[i - 1].h == h) {       // duplicate probe hash
+        p_lo[i] = p_lo[i - 1];
+        p_cnt[i] = p_cnt[i - 1];
+        lo = p_lo[i];
+        continue;
+      }
+      // gallop forward to bracket h, then binary search
+      int64_t step = 1, hi = lo;
+      while (hi < idx_n && idx_hash[hi] < h) {
+        lo = hi;
+        hi = hi + step < idx_n ? hi + step : idx_n;
+        step <<= 1;
+      }
+      int64_t a = std::lower_bound(idx_hash + lo, idx_hash + hi, h)
+                  - idx_hash;
+      int64_t b = a;
+      while (b < idx_n && idx_hash[b] == h) b++;
+      p_lo[i] = a;
+      p_cnt[i] = (b - a) > max_hits ? 0 : (b - a);
+      lo = a;
+    }
+  }
+
+  // ---- phase D: scatter hits into per-read segments -------------------
+  std::vector<int64_t> hcount(n_reads + 1, 0);
+  for (int64_t i = 0; i < n_probes; i++)
+    hcount[probes[i].rid + 1] += p_cnt[i];
+  for (int64_t r = 0; r < n_reads; r++) hcount[r + 1] += hcount[r];
+  int64_t n_hits = hcount[n_reads];
+  struct Hit { int64_t diag; int32_t rp; uint8_t rev; };
+  std::vector<Hit> hits(n_hits);
+  {
+    std::vector<int64_t> fill(hcount.begin(), hcount.end() - 1);
+    for (int64_t i = 0; i < n_probes; i++) {
+      if (!p_cnt[i]) continue;
+      const Probe& p = probes[i];
+      int64_t L = lens[p.rid];
+      int64_t& o = fill[p.rid];
+      for (int64_t j = p_lo[i]; j < p_lo[i] + p_cnt[i]; j++) {
+        uint8_t rev = idx_strand[j] != p.s;
+        int64_t gpos = (int64_t)idx_pos[j];
+        int64_t diag = rev ? gpos - (L - k - p.rp) : gpos - (int64_t)p.rp;
+        hits[o++] = {diag, p.rp, rev};
+      }
+    }
+  }
+
+  // ---- phase E: per-read (rev, diag) sort + band clustering + top-K ---
+  struct Group { int64_t med, span; int32_t nseeds; uint8_t rev; };
+  auto chain_read = [&](int64_t r) {
+    out_counts[r] = 0;
+    int64_t h0 = hcount[r], h1 = hcount[r + 1];
+    if (h0 == h1) return;
+    std::sort(hits.begin() + h0, hits.begin() + h1,
+              [](const Hit& a, const Hit& b) {
+                if (a.rev != b.rev) return a.rev < b.rev;
+                return a.diag < b.diag;
+              });
+    std::vector<Group> groups;
+    int64_t gs = h0;
+    for (int64_t i = h0 + 1; i <= h1; i++) {
+      bool brk = i == h1 || hits[i].rev != hits[gs].rev ||
+                 hits[i].diag - hits[i - 1].diag > diag_band;
+      if (!brk) continue;
+      int64_t n = i - gs;
+      if (n >= min_seeds) {
+        int64_t mid_lo = gs + (n - 1) / 2, mid_hi = gs + n / 2;
+        double m2 = ((double)hits[mid_lo].diag
+                     + (double)hits[mid_hi].diag) / 2.0;
+        int64_t med = (int64_t)std::trunc(m2);
+        int32_t rp_min = hits[gs].rp, rp_max = hits[gs].rp;
+        for (int64_t j = gs + 1; j < i; j++) {
+          rp_min = std::min(rp_min, hits[j].rp);
+          rp_max = std::max(rp_max, hits[j].rp);
+        }
+        groups.push_back({med, (int64_t)(rp_max - rp_min) + k,
+                          (int32_t)n, hits[gs].rev});
+      }
+      gs = i;
+    }
+    if (groups.empty()) return;
+    std::stable_sort(groups.begin(), groups.end(),
+                     [](const Group& a, const Group& b) {
+                       if (a.nseeds != b.nseeds) return a.nseeds > b.nseeds;
+                       if (a.span != b.span) return a.span > b.span;
+                       return a.med < b.med;
+                     });
+    int32_t nc = (int32_t)std::min<int64_t>(groups.size(), max_cands);
+    out_counts[r] = nc;
+    for (int32_t c = 0; c < nc; c++) {
+      out_diag[r * max_cands + c] = groups[c].med;
+      out_rev[r * max_cands + c] = groups[c].rev;
+      out_nseeds[r * max_cands + c] = groups[c].nseeds;
+      out_span[r * max_cands + c] = groups[c].span;
+    }
+  };
+  if (nthreads <= 1 || n_reads < 64) {
+    for (int64_t r = 0; r < n_reads; r++) chain_read(r);
+  } else {
+    std::vector<std::thread> ts;
+    int64_t per = (n_reads + nthreads - 1) / nthreads;
+    for (int t = 0; t < nthreads; t++) {
+      int64_t r0 = t * per, r1 = std::min(n_reads, r0 + per);
+      if (r0 >= r1) break;
+      ts.emplace_back([&, r0, r1]() {
+        for (int64_t r = r0; r < r1; r++) chain_read(r);
+      });
+    }
+    for (auto& th : ts) th.join();
+  }
+}
+
 // minimap2-class anchor chaining DP (longread.py::chain_anchors twin).
 // qs/rs: anchor read/ref positions already sorted by (r, q).  Writes the
 // per-anchor best score f and the predecessor index parent (-1 = chain

@@ -265,3 +265,41 @@ class TestGatherVar:
                                     np.zeros(3, np.int64),
                                     np.zeros(3, np.int64), 0)
         assert got is not None and len(got) == 0
+
+
+class TestSeedAndChain:
+    def test_matches_numpy_candidates(self, rng):
+        from falcon_genome_tpu.aligner import (
+            AlignerParams, IndexParams, MinimizerIndex, candidate_arrays)
+        from falcon_genome_tpu.io.dna import revcomp_codes
+        if native_ext.load() is None:
+            pytest.skip("native ext unavailable")
+        G, n, L = 200_000, 300, 120
+        chrom = rng.integers(0, 4, G).astype(np.uint8)
+        idx = MinimizerIndex([("c", chrom)], IndexParams(k=15, w=5))
+        codes = np.full((n, L), 4, np.uint8)
+        lens = np.full(n, L, np.int32)
+        for i in range(n):
+            p = int(rng.integers(0, G - L))
+            r = chrom[p:p + L].copy()
+            mut = rng.random(L) < 0.02
+            r = np.where(mut, (r + 1) % 4, r).astype(np.uint8)
+            if rng.random() < 0.5:
+                r = revcomp_codes(r)
+            if i % 17 == 0:             # some short reads
+                lens[i] = 60
+                codes[i, :60] = r[:60]
+            else:
+                codes[i] = r
+        p = AlignerParams()
+        nat = candidate_arrays(codes, lens, idx, p)
+        # force the numpy path
+        orig = native_ext.seed_and_chain
+        try:
+            native_ext.seed_and_chain = lambda *a, **k: None
+            ref = candidate_arrays(codes, lens, idx, p)
+        finally:
+            native_ext.seed_and_chain = orig
+        assert all(len(a) == len(b) for a, b in zip(nat, ref))
+        for a, b in zip(nat, ref):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
