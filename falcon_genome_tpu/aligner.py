@@ -599,7 +599,10 @@ def _nm_batch(codes: np.ndarray, lengths: np.ndarray, rev: np.ndarray,
     if not len(sel):
         return nm
     nc_s = nc[sel].astype(np.int64)
-    mask = np.arange(ops.shape[1])[None, :] < nc_s[:, None]
+    wmax = max(int(nc_s.max()), 1)      # typical CIGARs are ≤5 ops; the
+    ops = ops[:, :wmax]                 # slot arrays are 160 wide
+    lens = lens[:, :wmax]
+    mask = np.arange(wmax)[None, :] < nc_s[:, None]
     ops_f = ops[sel][mask].astype(np.int64)
     lens_f = lens[sel][mask].astype(np.int64)
     n_ops = len(ops_f)
@@ -1197,12 +1200,15 @@ def _flatten_cigars_batch(ab: AlignmentBatch
     """(ops, lens, cig_off, ncigar, ref_len) from an AlignmentBatch —
     the array twin of ``_flatten_cigars`` (unmapped lanes have nc 0)."""
     nc = ab.nc.astype(np.int64)
-    mask = np.arange(ab.ops.shape[1])[None, :] < nc[:, None]
-    ops = ab.ops[mask].astype(np.int32)
-    lens = ab.lens[mask].astype(np.int32)
+    wmax = max(int(nc.max(initial=0)), 1)
+    ops2 = ab.ops[:, :wmax]
+    lens2 = ab.lens[:, :wmax]
+    mask = np.arange(wmax)[None, :] < nc[:, None]
+    ops = ops2[mask].astype(np.int32)
+    lens = lens2[mask].astype(np.int32)
     cig_off = np.cumsum(nc) - nc
-    contrib = np.where(mask & ((ab.ops == CIGAR_M) | (ab.ops == CIGAR_D)),
-                       ab.lens.astype(np.int64), 0)
+    contrib = np.where(mask & ((ops2 == CIGAR_M) | (ops2 == CIGAR_D)),
+                       lens2.astype(np.int64), 0)
     ref_len = contrib.sum(axis=1)
     return ops, lens, cig_off, nc.astype(np.int32), ref_len
 

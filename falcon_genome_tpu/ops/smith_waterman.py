@@ -717,6 +717,13 @@ def sw_pair_dispatch(reads8_dev, j_read, j_rev, j_rlen, genome_dev,
         reads8_dev, jnp.asarray(meta_np), jnp.asarray(flat), genome_dev,
         params=params, bucket=bucket, pair=pair, max_steps=max_steps,
         nr=NRp)
+    # enqueue the D2H copy now: it starts the moment the kernel finishes,
+    # overlapping the ~1 MB transfer (≈50 ms on the tunnel) with the host
+    # work the caller does before sw_pair_collect
+    try:
+        out_dev.copy_to_host_async()
+    except AttributeError:
+        pass
     return (out_dev, max_steps, NR, B1, H, np.asarray(read_lens))
 
 
@@ -835,8 +842,7 @@ def _traceback_core(ptrs, best, bestpos, *, max_steps: int):
     phase0 = jnp.zeros(B, jnp.int32)           # 0=H, 1=E(D-run), 2=F(I-run)
     active0 = best > 0
 
-    def step(carry, _):
-        i, j, phase, active = carry
+    def step_math(i, j, phase, active):
         idx = jnp.clip((i + j - 1) * R + (i - 1), 0, D * R - 1)
         byte = jnp.take_along_axis(
             flat, idx[None, :].astype(jnp.int32), axis=0)[0].astype(
@@ -857,10 +863,28 @@ def _traceback_core(ptrs, best, bestpos, *, max_steps: int):
         dj = jnp.where(moving & (do_m | in_e), 1, 0)
         phase = jnp.where(in_e & (eext == 1), 1,
                           jnp.where(in_f & (fext == 1), 2, 0))
-        return (i - di, j - dj, phase, moving), op
+        return i - di, j - dj, phase, moving, op
 
-    (i_f, j_f, _, _), ops = jax.lax.scan(
-        step, (bi, bj, phase0, active0), None, length=max_steps)
+    # while_loop with an all-lanes-done early exit: the walk length is
+    # the LONGEST path in the batch (~read_len + a few indels, typically
+    # well under half of max_steps), and every step costs a serial
+    # cross-lane HBM gather (~0.2 ms at 8k lanes) — exiting early halves
+    # the traceback wall vs a fixed-length scan
+    ops_buf0 = jnp.full((max_steps, B), -1, jnp.int32)
+
+    def cond(carry):
+        t, i, j, phase, active, _ = carry
+        return (t < max_steps) & jnp.any(active)
+
+    def body(carry):
+        t, i, j, phase, active, ops_buf = carry
+        i, j, phase, moving, op = step_math(i, j, phase, active)
+        ops_buf = jax.lax.dynamic_update_slice(
+            ops_buf, op[None, :], (t, 0))
+        return (t + 1, i, j, phase, moving, ops_buf)
+
+    _, i_f, j_f, _, _, ops = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), bi, bj, phase0, active0, ops_buf0))
     # pack 4 ops/byte (each op in -1..2 → biased 0..3): 4× less on the wire
     S4 = (max_steps + 3) // 4 * 4
     ops2 = jnp.pad((ops + 1).astype(jnp.uint8), ((0, S4 - max_steps), (0, 0)))
