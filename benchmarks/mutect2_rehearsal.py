@@ -9,9 +9,15 @@ with 1,000 planted somatic SNVs (35% VAF), 2,000 shared germline hets
 
 Writes a ``mutect2`` row into benchmarks/wgs_rehearsal.json.
 
-Usage: python benchmarks/mutect2_rehearsal.py [workdir]
+Round 5 runs the same harness at 60 Mb (the germline-rehearsal scale,
+worker-mutect2.cpp:170-201 runs every subcommand over the same
+whole-genome scatter): set ``M2_G_MB=60``; the somatic/germline site
+counts and the recorded row scale with it.
+
+Usage: [M2_G_MB=60] python benchmarks/mutect2_rehearsal.py [workdir]
 """
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -20,11 +26,12 @@ sys.path.insert(0, str(Path(__file__).parent.parent))
 
 import numpy as np
 
-G = 10_000_000
+G_MB = int(os.environ.get("M2_G_MB", "10"))
+G = G_MB * 1_000_000
 DEPTH = 25
 READ_LEN = 150
-N_SOMATIC = 1_000
-N_GERMLINE = 2_000
+N_SOMATIC = 100 * G_MB          # 1,000 at the 10 Mb baseline scale
+N_GERMLINE = 200 * G_MB
 SOMATIC_VAF = 0.35
 ERR = 0.001
 QUAL_CHR = "?"          # phred 30 == the actual error rate (calibrated)
@@ -86,7 +93,7 @@ def _write_bam(path, ref, alt_hap, somatic, rng, sample, somatic_vaf):
 
 
 def main():
-    work = Path(sys.argv[1] if len(sys.argv) > 1 else "/tmp/m2_10mb")
+    work = Path(sys.argv[1] if len(sys.argv) > 1 else f"/tmp/m2_{G_MB}mb")
     work.mkdir(parents=True, exist_ok=True)
     results_path = Path(__file__).parent / "wgs_rehearsal.json"
     results = (json.loads(results_path.read_text())
