@@ -155,7 +155,7 @@ def bench_sw_score(jax, jnp, backend, rng):
 
     args = tuple(jnp.asarray(a) for a in (read, rlen, win, wlen))
     per_call = _timed_loop(loop, args, N_INNER)
-    return float(Bsw) * rl * wl / per_call / 1e9
+    return float(Bsw) * rl * wl / per_call / 1e9, per_call
 
 
 def bench_pallas_fma_ceiling(jax, jnp):
@@ -269,6 +269,42 @@ KERNEL_FLOPS_PER_CELL = 15
 # and is not counted; (1,B) row ops are 1/20th of a tile-op and are
 # folded into the row-accumulate line)
 KERNEL_SLOTS_PER_SUBSTEP = 37
+
+
+# Vector-issue slots per diagonal of the score-only Smith-Waterman
+# wavefront (_sw_score_kernel.step), same accounting as
+# KERNEL_SLOTS_PER_SUBSTEP (loads/ALU/stores each = 1 slot per (R, 128)
+# tile-op; itemization in docs/ANALYSIS_sw.md):
+#
+#   window shift-in (ld, shift, st)                     3
+#   E update (h1 ld, sub, e1 ld, sub, max)              5
+#   F update (shift h1, sub, f1 ld, shift, sub, max)    6
+#   substitution (read ld, eq, select)                  3
+#   diagonal (h2 ld, shift, add)                        3
+#   H update (max, max, max)                            3
+#   valid mask (iota-sub, ge, le, and, and, rowvalid)   6
+#   masked H (select)                                   1
+#   E/F masked stores (select+st ×2)                    4
+#   best tracking (max-reduce 2, cmp+sel+min-reduce 4)  6
+#   H1/H2 carry stores                                  2
+#   ---------------------------------------------------------
+#   total                                              42
+SW_SLOTS_PER_DIAG = 42
+
+
+def sw_issue_util(sw_per_call: float, twin_per_call: float) -> float:
+    """Issue-slot utilization of the score-only SW kernel vs the
+    dependence-free Pallas twin (docs/ANALYSIS_sw.md; same methodology
+    as pairhmm_issue_util — the DP is issue-bound, int compares/selects/
+    shifts and masking occupy slots that count zero flops)."""
+    LANES = 128
+    R, W, Bsw = 160, 416, 2048           # bench_sw_score shapes
+    nblocks = Bsw // LANES
+    kernel_slots = nblocks * (R + W) * SW_SLOTS_PER_DIAG * R * LANES
+    T = (BUCKET_R + BUCKET_H) // 2
+    twin_slots = (B // LANES) * T * 64 * 3 * BUCKET_R * LANES
+    return ((kernel_slots / sw_per_call)
+            / (twin_slots / twin_per_call))
 
 
 def pairhmm_issue_util(pairhmm_per_call: float,
@@ -458,9 +494,10 @@ def main() -> None:
         extras["mesh_chips"] = nchips
     except Exception as e:  # never let an extra kill the headline number
         print(f"# mesh extra failed: {e!r}", file=sys.stderr)
+    sw_per_call = None
     try:
-        extras["sw_score_gcups"] = round(
-            bench_sw_score(jax, jnp, backend, rng), 3)
+        sw_gcups, sw_per_call = bench_sw_score(jax, jnp, backend, rng)
+        extras["sw_score_gcups"] = round(sw_gcups, 3)
     except Exception as e:
         print(f"# sw extra failed: {e!r}", file=sys.stderr)
     try:
@@ -479,6 +516,13 @@ def main() -> None:
             if util < 0.8:
                 print(f"# GATE: pairhmm_issue_util {util:.3f} < 0.8 "
                       "(BASELINE.md north-star row 2)", file=sys.stderr)
+            if sw_per_call is not None:
+                swu = sw_issue_util(sw_per_call, twin_per_call)
+                extras["sw_issue_util"] = round(swu, 3)
+                if swu < 0.8:
+                    print(f"# GATE: sw_issue_util {swu:.3f} < 0.8 "
+                          "(BASELINE.md north-star row 1)",
+                          file=sys.stderr)
     except Exception as e:
         print(f"# roofline extra failed: {e!r}", file=sys.stderr)
     try:

@@ -200,7 +200,12 @@ def _sw_score_kernel(read_ref, rlen_ref, win_ref, wlen_ref,
         h1_ref[:] = h_new
         return carry
 
-    jax.lax.fori_loop(1, R + W + 1, step, 0)
+    # dynamic diagonal bound (same as the PairHMM kernel): cells past
+    # d = rlen + wlen are all masked invalid, so stopping there is exact —
+    # the aligner's production windows (read + 2·pad = 214) underfill the
+    # 256 bucket, worth ~12% of the sweep
+    dmax = jnp.minimum(jnp.max(rlen + wlen), R + W)
+    jax.lax.fori_loop(1, dmax + 1, step, 0)
 
 
 def _sw_pallas_full(read, rlen, win, wlen, params: SWParams,

@@ -91,3 +91,46 @@ class TestIndelStage:
         assert any("D" in cigar_to_str(r.cigar) for r in fixed)
         # realigned reads carry the original-cigar OC tag
         assert any(r.get_tag("OC") for r in fixed)
+
+
+class TestColumnarRealignEquivalence:
+    def test_columns_match_record_path(self, tmp_path):
+        from falcon_genome_tpu.io.columns import RecordColumns
+        from falcon_genome_tpu.io.sam import record_to_sam_line
+        from falcon_genome_tpu.ops.sw_ref import SWParams
+        from falcon_genome_tpu.stages.indel import (
+            _realign_columns, _realign_interval)
+
+        rng = np.random.default_rng(5)
+        chrom = rng.integers(0, 4, 4000).astype(np.uint8)
+        recs = []
+        k = 0
+        # three indel loci with sloppily-aligned reads + clean coverage
+        for locus, gap in ((800, 4), (2000, 3), (3100, 5)):
+            for start in range(locus - 50, locus, 5):
+                seq = np.concatenate(
+                    [chrom[start:start + 40],
+                     chrom[start + 40 + gap:start + 80 + gap]])
+                recs.append(SamRecord(
+                    f"r{k}", 0, 0, start, 60, cigar_from_str("80M"),
+                    seq=decode_seq(seq), qual="I" * 80))
+                k += 1
+            for start in range(locus - 100, locus + 100, 10):
+                recs.append(SamRecord(
+                    f"c{k}", 0, 0, start, 60, cigar_from_str("80M"),
+                    seq=decode_seq(chrom[start:start + 80]),
+                    qual="I" * 80))
+                k += 1
+        recs.sort(key=lambda r: r.pos)
+
+        # fresh object copies for the record-path reference
+        ref_recs = RecordColumns.from_records(recs).to_records()
+        n_ref = _realign_interval(ref_recs, chrom, 0, 4000, SWParams())
+
+        cols = RecordColumns.from_records(recs)
+        n_col = _realign_columns(cols, chrom, 0, 4000, SWParams())
+        assert n_col == n_ref and n_ref > 0
+        got = cols.to_records()
+        for a, b in zip(ref_recs, got):
+            assert (a.pos, cigar_to_str(a.cigar), a.get_tag("OC")) == \
+                (b.pos, cigar_to_str(b.cigar), b.get_tag("OC")), a.qname
