@@ -25,7 +25,15 @@ MAX_HAPLOTYPES = 16
 
 @dataclasses.dataclass
 class AssemblyParams:
-    kmer_sizes: tuple[int, ...] = (25, 35)
+    # Ladder starts LOW like GATK's (10, 25): a k=25 path through a
+    # variant needs a read spanning k−1 bases on BOTH sides, and reads
+    # clipped to a ~110 bp active region often leave only one such
+    # spanner — the variant bubble then prunes at min_edge_mult and the
+    # region assembles ref-only (round-5 classification: ~2/3 of the 60 Mb
+    # rehearsal's 210 missed sites, each with 4-10 alt reads, failed
+    # exactly this way).  Cyclic/blowup regions escalate to larger k as
+    # before, so repetitive contexts are unaffected.
+    kmer_sizes: tuple[int, ...] = (15, 25, 35)
     min_edge_mult: int = 2      # prune threshold (GATK pruneFactor)
     max_haplotypes: int = MAX_HAPLOTYPES
 
