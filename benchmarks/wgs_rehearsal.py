@@ -177,6 +177,68 @@ def main() -> None:
     if "b" in run_stages:
         record("bqsr", lambda: stages.run_bqsr(
             conf, ds["ref"], dedup, recal_bam, force=True))
+    def classify_extras(extra_pos, bam_dir, ref_fa, call_conf=30.0):
+        """GATK-concordance check for extra calls (compareVCF.sh's pass
+        rule is 0 variants non-concordant WITH THE GATK BASELINE, not
+        with simulation truth).  For each extra site, recompute GATK's
+        exact diploid genotype likelihoods from the pileup (allele
+        error rate from the recalibrated base quals) — if the resulting
+        variant QUAL clears stand_call_conf, GATK emits the same call on
+        this data and the site is concordant-extra, not a defect."""
+        import math
+
+        from falcon_genome_tpu.io.fasta import FastaFile
+        from falcon_genome_tpu.io.intervals import Interval
+        from falcon_genome_tpu.stages.bamstages import BamInputSource
+        fa = FastaFile(ref_fa)
+        contig = fa.dict.contigs[0].name
+        codes = fa.contig_codes(contig)
+        src = BamInputSource(bam_dir)
+        out = []
+        for p in sorted(extra_pos):
+            p = int(p)
+            counts = {}
+            quals = {}
+            for r in src.records_for(
+                    [Interval(contig, max(1, p - 200), p + 200)]):
+                if r.is_unmapped or r.is_duplicate or (r.flag & 0x900):
+                    continue
+                i, j = 0, r.pos
+                off = None
+                for op, n in r.cigar:
+                    if op == 0:
+                        if j <= p < j + n:
+                            off = i + (p - j)
+                            break
+                        i += n
+                        j += n
+                    elif op in (1, 4):
+                        i += n
+                    elif op in (2, 3):
+                        j += n
+                if off is None or off >= len(r.seq):
+                    continue
+                b = r.seq[off]
+                counts[b] = counts.get(b, 0) + 1
+                quals.setdefault(b, []).append(ord(r.qual[off]) - 33)
+            ref_b = "ACGTN"[codes[p]]
+            alts = [(n, b) for b, n in counts.items() if b != ref_b]
+            if not alts:
+                out.append({"pos": p, "gatk_forced": False, "qual": 0.0})
+                continue
+            n_alt, alt_b = max(alts)
+            n_ref = counts.get(ref_b, 0)
+            e = 10 ** (-np.mean(quals[alt_b]) / 10.0)
+            l00 = (n_ref * math.log10(1 - e)
+                   + n_alt * math.log10(e / 3))
+            l01 = (n_ref + n_alt) * math.log10(0.5 * (1 - e) + 0.5 * e / 3)
+            q = 10.0 * (l01 - l00)
+            out.append({"pos": p, "alt": alt_b, "n_ref": n_ref,
+                        "n_alt": n_alt,
+                        "gatk_qual": round(q, 1),
+                        "gatk_forced": bool(q >= call_conf)})
+        return out
+
     if "h" in run_stages:
         # reference pipeline order: the caller consumes the
         # RECALIBRATED BAM (worker-germline.cpp chains bqsr → htc) —
@@ -193,16 +255,30 @@ def main() -> None:
         _, recs = read_vcf(vcf)
         called = {r.pos - 1 for r in recs if not r.is_gvcf_block}
         tp = len(truth & called)
-        extra = len(called - truth)
+        extras_set = called - truth
+        extra = len(extras_set)
         prec = tp / max(len(called), 1)
         results["htc"]["sensitivity"] = round(tp / len(truth), 4)
         results["htc"]["extra_calls"] = extra
         results["htc"]["precision"] = round(prec, 5)
-        results["htc"]["precision_pass"] = bool(prec >= 0.999)
         results["htc"]["input"] = ("recal" if htc_in == recal_bam
                                    else "dedup")
+        # the reference's literal pass rule (compareVCF.sh:230-258): zero
+        # calls non-concordant with the GATK baseline.  Truth-extra calls
+        # that GATK's own likelihood model emits on this pileup ARE
+        # concordant; any other extra fails the gate.
+        cls = classify_extras(extras_set, htc_in, ds["ref"])
+        unforced = [c for c in cls if not c["gatk_forced"]]
+        results["htc"]["extra_classification"] = cls
+        results["htc"]["extras_gatk_concordant"] = len(cls) - len(unforced)
+        results["htc"]["pass_rule"] = ("0 extras non-concordant with the "
+                                       "GATK pileup likelihood at "
+                                       "stand_call_conf 30")
+        results["htc"]["precision_pass"] = bool(
+            prec >= 0.999 and not unforced)
         results_path.write_text(json.dumps(results, indent=1))
-        print(f"   sensitivity {tp}/{len(truth)}, extra {extra}, "
+        print(f"   sensitivity {tp}/{len(truth)}, extra {extra} "
+              f"({len(cls) - len(unforced)} GATK-concordant), "
               f"precision {prec:.5f}")
 
     n_reads = 2 * N_PAIRS

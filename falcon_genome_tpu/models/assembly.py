@@ -149,10 +149,16 @@ def assemble_region(ref: np.ndarray, reads: list[np.ndarray],
     # Raising the floor kills error bubbles first; real variants
     # (support ≫ the rung) survive.  A region that still falls back at
     # the top rung is genuinely unassemblable.
+    # Escalate the prune floor on BLOWUP only (enumeration budget
+    # exceeded at every k → ref-only fallback): raising the floor kills
+    # singleton error bubbles first and makes the region enumerable.
+    # Saturation (more paths than the cap) no longer escalates — the
+    # support-ordered selection above keeps the best-supported paths,
+    # where escalation used to raise the floor past a real variant's
+    # spanning support in dense multi-het regions.
     mult = params.min_edge_mult
     res = once(mult)
-    while ((len(res.haplotypes) >= params.max_haplotypes or res.fallback)
-           and mult < 8):
+    while res.fallback and mult < 8:
         mult += 1 if mult < 2 else 2
         res = once(mult)
     return res
@@ -174,7 +180,23 @@ def _assemble_region_py(ref: np.ndarray, reads: list[np.ndarray],
             continue  # cyclic / blowup → larger k
         haps: list[np.ndarray] = [ref]
         seen = {bytes(ref)}
-        scored = sorted(paths, key=lambda s: (len(s) != len(ref), s))
+        # selection by SUPPORT when the region yields more paths than the
+        # cap: a path's support is the weakest non-ref edge it crosses
+        # (ref-only path → unbounded).  Dense multi-het regions exceed
+        # the cap with genuine combination haplotypes (3 hets → 8 combos)
+        # — lexicographic pick (round 4) arbitrarily dropped real variant
+        # paths there, and prune-escalation killed their bubbles instead
+        # of the error bubbles' (round-5 rehearsal: strong-evidence
+        # misses in dense regions)
+        def support(pth: bytes) -> int:
+            s = 1 << 30
+            for i in range(len(pth) - k + 1):
+                node, nb = pth[i:i + k - 1], pth[i + k - 1]
+                if (node, nb) not in _ref_edges:
+                    s = min(s, graph[node][nb])
+            return s
+        scored = sorted(paths,
+                        key=lambda s: (-support(s), len(s) != len(ref), s))
         for pth in scored:
             if pth in seen:
                 continue

@@ -375,8 +375,17 @@ class HaplotypeCaller:
         return reads[:p.max_reads_per_region]
 
     def call_interval(self, records: list[SamRecord], ref: np.ndarray,
-                      contig: str, start: int, end: int) -> list[VcfRecord]:
+                      contig: str, start: int, end: int,
+                      emit_start: int | None = None,
+                      emit_end: int | None = None) -> list[VcfRecord]:
         """Full sharded-caller step: detect active regions then genotype.
+
+        ``emit_start``/``emit_end`` restrict EMISSION to a sub-window of
+        the analyzed [start, end) — the sharded caller analyzes each
+        shard with boundary padding (activity smoothing and read
+        evidence are position-symmetric only away from the bounds) and
+        emits each site from exactly one shard, like GATK's interval
+        padding.
 
         Device work is batched *across* regions: host assembly stages every
         region first, then ONE Smith-Waterman batch aligns all assembled
@@ -440,8 +449,12 @@ class HaplotypeCaller:
             if key not in seen:
                 seen.add(key)
                 dedup.append(r)
+        e0 = start if emit_start is None else emit_start
+        e1 = end if emit_end is None else emit_end
+        if emit_start is not None or emit_end is not None:
+            dedup = [r for r in dedup if e0 <= r.pos - 1 < e1]
         if p.emit_gvcf:
-            dedup = _add_ref_blocks(dedup, records, ref, contig, start, end)
+            dedup = _add_ref_blocks(dedup, records, ref, contig, e0, e1)
         return dedup
 
 

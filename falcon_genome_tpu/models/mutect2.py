@@ -234,8 +234,9 @@ class Mutect2:
 
     def call_interval(self, tumor: list[SamRecord],
                       normal: list[SamRecord] | None,
-                      ref: np.ndarray, contig: str, start: int, end: int
-                      ) -> list[VcfRecord]:
+                      ref: np.ndarray, contig: str, start: int, end: int,
+                      emit_start: int | None = None,
+                      emit_end: int | None = None) -> list[VcfRecord]:
         """Batched like the HaplotypeCaller: one SW call and one PairHMM
         call per interval, covering every staged region's tumor+normal
         reads (tumor rows first per region, split after)."""
@@ -301,6 +302,10 @@ class Mutect2:
                         seen.add(key)
                         out.append(rec)
         out.sort(key=lambda r: r.pos)
+        if emit_start is not None or emit_end is not None:
+            e0 = start if emit_start is None else emit_start
+            e1 = end if emit_end is None else emit_end
+            out = [r for r in out if e0 <= r.pos - 1 < e1]
         return out
 
 

@@ -26,6 +26,12 @@ from .common import interval_shards, load_fasta
 
 log = logging.getLogger("falcon_genome_tpu")
 
+# Shard-boundary analysis padding (GATK interval padding): covers the
+# active-region pad + smoothing window + one read length, so a site near
+# a shard edge sees the same pileup it would mid-shard.  Emission stays
+# inside the unpadded shard — each site is emitted by exactly one shard.
+SHARD_PAD = 400
+
 
 def _vcf_header(fa, samples: list[str]) -> VcfHeader:
     return VcfHeader(
@@ -115,9 +121,17 @@ def run_htc(conf: Config, ref: str, input_path: str, output: str,
         recs = []
         for iv in shard:
             contig_codes = fa.contig_codes(iv.contig)
-            sub = src.records_for([iv])
+            # boundary padding (GATK interval padding): analyze ±PAD so
+            # activity smoothing and read evidence are complete at the
+            # shard edges; emit only sites inside the unpadded interval
+            pad = SHARD_PAD
+            a0 = max(0, iv.start - 1 - pad)
+            a1 = min(len(contig_codes), iv.end + pad)
+            sub = src.records_for(
+                [Interval(iv.contig, a0 + 1, a1)])
             recs.extend(hc.call_interval(
-                sub, contig_codes, iv.contig, iv.start - 1, iv.end))
+                sub, contig_codes, iv.contig, a0, a1,
+                emit_start=iv.start - 1, emit_end=iv.end))
         return _write_part(part_paths[idx], vcf_header, recs)
 
     runner = PipelineRunner.from_conf("Haplotype Caller", conf,
@@ -195,10 +209,14 @@ def run_mutect2(conf: Config, ref: str, tumor_path: str, output: str,
         recs = []
         for iv in shard:
             codes = fa.contig_codes(iv.contig)
-            t_sub = t_src.records_for([iv])
-            n_sub = n_src.records_for([iv]) if n_src is not None else None
+            a0 = max(0, iv.start - 1 - SHARD_PAD)
+            a1 = min(len(codes), iv.end + SHARD_PAD)
+            piv = Interval(iv.contig, a0 + 1, a1)
+            t_sub = t_src.records_for([piv])
+            n_sub = n_src.records_for([piv]) if n_src is not None else None
             iv_recs = m2.call_interval(
-                t_sub, n_sub, codes, iv.contig, iv.start - 1, iv.end)
+                t_sub, n_sub, codes, iv.contig, a0, a1,
+                emit_start=iv.start - 1, emit_end=iv.end)
             recs.extend(annotate_resources(
                 iv_recs, iv.contig, iv.start - 1, iv.end, res))
         if run_filter:

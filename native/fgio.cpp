@@ -1018,14 +1018,39 @@ int64_t fg_assemble_region(
       continue;  // cyclic / blowup -> larger k
 
     std::string refs((const char*)ref, (size_t)ref_len);
-    // python: sorted(paths, key=(len(s) != len(ref), s))
-    std::stable_sort(paths.begin(), paths.end(),
-                     [&](const std::string& a, const std::string& b) {
+    // python: sorted(paths, key=(-support, len(s) != len(ref), s)) where
+    // support = weakest non-ref edge crossed (assembly.py selection)
+    auto support = [&](const std::string& s) -> int64_t {
+      int64_t sup = 1LL << 30;
+      for (size_t i = 0; i + k <= s.size(); i++) {
+        std::string node = s.substr(i, (size_t)(k - 1));
+        int nb = (uint8_t)s[i + k - 1];
+        auto it = graph.find(node);
+        if (it != graph.end() && !it->second.is_ref[nb])
+          sup = std::min(sup, (int64_t)it->second.count[nb]);
+      }
+      return sup;
+    };
+    std::vector<int64_t> sup(paths.size());
+    for (size_t i = 0; i < paths.size(); i++) sup[i] = support(paths[i]);
+    std::vector<size_t> ord(paths.size());
+    for (size_t i = 0; i < ord.size(); i++) ord[i] = i;
+    std::stable_sort(ord.begin(), ord.end(),
+                     [&](size_t ia, size_t ib) {
+                       const std::string& a = paths[ia];
+                       const std::string& b = paths[ib];
+                       if (sup[ia] != sup[ib]) return sup[ia] > sup[ib];
                        bool da = a.size() != refs.size();
                        bool db = b.size() != refs.size();
                        if (da != db) return db;
                        return a < b;
                      });
+    {
+      std::vector<std::string> tmp;
+      tmp.reserve(paths.size());
+      for (size_t i : ord) tmp.push_back(std::move(paths[i]));
+      paths.swap(tmp);
+    }
     std::unordered_set<std::string> seen;
     seen.insert(refs);
     std::vector<const std::string*> haps;
