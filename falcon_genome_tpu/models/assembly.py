@@ -149,16 +149,20 @@ def assemble_region(ref: np.ndarray, reads: list[np.ndarray],
     # Raising the floor kills error bubbles first; real variants
     # (support ≫ the rung) survive.  A region that still falls back at
     # the top rung is genuinely unassemblable.
-    # Escalate the prune floor on BLOWUP only (enumeration budget
-    # exceeded at every k → ref-only fallback): raising the floor kills
-    # singleton error bubbles first and makes the region enumerable.
-    # Saturation (more paths than the cap) no longer escalates — the
-    # support-ordered selection above keeps the best-supported paths,
-    # where escalation used to raise the floor past a real variant's
-    # spanning support in dense multi-het regions.
+    # Adaptive prune escalation (GATK's pruneFactor ladder): raise the
+    # floor on BLOWUP (enumeration budget exceeded → ref-only fallback)
+    # and on SATURATION (cap filled — mostly floor-level error bubbles;
+    # escalating kills them first and bounds the PairHMM pair count).
+    # Unlike round 4, the selection WITHIN each rung is support-ordered,
+    # so a real variant path (support above the rung) survives both the
+    # cap and the escalation — without support-ordering, saturation
+    # escalation dropped dense multi-het regions' variants arbitrarily;
+    # without escalation, junk bubbles tripled the PairHMM wall (939 s vs
+    # 629 s at the 60 Mb rehearsal).
     mult = params.min_edge_mult
     res = once(mult)
-    while res.fallback and mult < 8:
+    while ((len(res.haplotypes) >= params.max_haplotypes or res.fallback)
+           and mult < 8):
         mult += 1 if mult < 2 else 2
         res = once(mult)
     return res
