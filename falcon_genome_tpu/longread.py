@@ -444,6 +444,15 @@ class LongReadAligner:
                 mapq=_long_mapq(sc, second, n_anchors),
                 cigar=cigar, nm=nm, read_len=len(codes))
 
+    @property
+    def genome_dev(self):
+        """Reference genome resident in HBM: chunk windows gather on
+        device instead of shipping ~1 MB of window bytes per SW call."""
+        if getattr(self, "_genome_dev", None) is None:
+            from .ops.smith_waterman import device_genome
+            self._genome_dev = device_genome(self.index.genome)
+        return self._genome_dev
+
     def _run_chunks(self, chunks: list[_Chunk], oriented, plan, reads,
                     dispatch_only: bool = False):
         if not chunks:
@@ -454,7 +463,7 @@ class LongReadAligner:
         genome = self.index.genome
         n = len(chunks)
         creads = np.full((n, R), 4, np.uint8)
-        cwins = np.full((n, W), 4, np.uint8)
+        starts = np.zeros(n, np.int32)
         rl = np.zeros(n, np.int32)
         wl = np.zeros(n, np.int32)
         # map chunk row → owning read (plan slices are contiguous)
@@ -480,11 +489,11 @@ class LongReadAligner:
             seg_q = min(c.read_b - c.read_a, R)
             seg_r = min(rb - ra, W)
             creads[ci, :seg_q] = ocodes[c.read_a:c.read_a + seg_q]
-            cwins[ci, :seg_r] = genome[ra:ra + seg_r]
+            starts[ci] = ra
             rl[ci] = seg_q
             wl[ci] = seg_r
         from .ops.smith_waterman import sw_extend_collect, \
-            sw_extend_dispatch
-        handle = sw_extend_dispatch(creads, rl, cwins, wl, p.sw,
-                                    bucket=bucket)
+            sw_extend_win_dispatch
+        handle = sw_extend_win_dispatch(creads, rl, self.genome_dev,
+                                        starts, wl, p.sw, bucket)
         return handle if dispatch_only else sw_extend_collect(handle)

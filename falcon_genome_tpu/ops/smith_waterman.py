@@ -692,6 +692,78 @@ def _sw_pair_fused(reads8, meta_j, flat_idx, genome, *, params: SWParams,
     return jnp.concatenate([fused, abytes], axis=0)
 
 
+@functools.partial(jax.jit, static_argnames=("params", "bucket",
+                                             "max_steps"))
+def _sw_winget_full(reads8, meta, genome, *, params: SWParams,
+                    bucket: SWBucket, max_steps: int):
+    """Full SW where lane READS ship as a matrix but WINDOWS gather on
+    device from the resident genome (the long-read chunk path: windows
+    are genome slices — round 4 shipped ~1 MB of window bytes per call
+    over a ~20 MB/s transport)."""
+    W = bucket.max_win_len
+    rlen = meta[_META_RLEN:_META_RLEN + 1]
+    wlen = meta[_META_WLEN:_META_WLEN + 1]
+    starts = meta[_META_START:_META_START + 1]
+    read = reads8.astype(jnp.int32)
+    G = genome.shape[0]
+    B = read.shape[1]
+    wvec = jax.lax.broadcasted_iota(jnp.int32, (W, B), 0)
+    widx = starts + wvec
+    valid = jnp.logical_and(widx >= 0, widx < G)
+    win = jnp.take(genome, jnp.clip(widx, 0, G - 1),
+                   axis=0).astype(jnp.int32)
+    win = jnp.where(valid, win, 5)
+    if bucket.backend == "jax":
+        ptrs, best, bestpos = _sw_scan_core(
+            read, rlen, win, wlen, params=params,
+            R=bucket.max_read_len, W=W)
+    else:
+        ptrs, best, bestpos = _sw_pallas_full(
+            read, rlen, win, wlen, params,
+            interpret=bucket.backend == "interpret")
+    return _traceback_core(ptrs, best[0], bestpos[0], max_steps=max_steps)
+
+
+def sw_extend_win_dispatch(reads: np.ndarray, read_lens: np.ndarray,
+                           genome_dev, win_starts: np.ndarray,
+                           win_lens: np.ndarray,
+                           params: SWParams, bucket: SWBucket):
+    """Async window-gather extension: reads ship, windows stay in HBM.
+    Returns a handle for ``sw_extend_collect``."""
+    B = reads.shape[0]
+    if B > MAX_LANES_PER_CALL:
+        handles = []
+        for s in range(0, B, MAX_LANES_PER_CALL):
+            e = s + MAX_LANES_PER_CALL
+            handles.append(sw_extend_win_dispatch(
+                reads[s:e], read_lens[s:e], genome_dev, win_starts[s:e],
+                win_lens[s:e], params, bucket))
+        return ("multi", handles)
+    Bp = _pow2_lanes(B)
+    R = bucket.max_read_len
+    pad = np.full((Bp, R), 4, np.int8)
+    pad[:B, :reads.shape[1]] = reads
+    meta = _pack_meta(np.zeros(B, np.int32), np.zeros(B, np.int32),
+                      read_lens, win_starts, win_lens, Bp)
+    max_steps = _traceback_steps_bound(
+        int(np.max(read_lens)) if B else 0,
+        int(np.max(win_lens)) if B else 0, params, bucket)
+    out_dev = _sw_winget_full(
+        _transpose_dev(jnp.asarray(pad)), jnp.asarray(meta), genome_dev,
+        params=params, bucket=bucket, max_steps=max_steps)
+    try:
+        out_dev.copy_to_host_async()
+    except AttributeError:
+        pass
+
+    def collect():
+        out = np.asarray(out_dev)
+        packed_h, coords_h, best_h = _decode_traceback(out, max_steps, B)
+        return _results_from_packed(packed_h, max_steps, coords_h,
+                                    best_h, np.asarray(read_lens))
+    return ("one", collect)
+
+
 def sw_pair_dispatch(reads8_dev, j_read, j_rev, j_rlen, genome_dev,
                      j_start, j_wlen, slice_of, read_lens,
                      params: SWParams, bucket: SWBucket, pair: PairPolicy):
