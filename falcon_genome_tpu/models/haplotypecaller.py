@@ -108,7 +108,8 @@ def _hap_to_ref_events(haps: list[np.ndarray], ref: np.ndarray):
         return [[]]
     n = len(haps) - 1
     maxh = max(len(h) for h in haps[1:])
-    R = ((max(maxh, len(ref), 32) + 31) // 32) * 32
+    # 128-quantized like _hap_to_ref_events_multi (compile variants)
+    R = ((max(maxh, len(ref), 128) + 127) // 128) * 128
     W = max(((len(ref) + 127) // 128) * 128, 128)
     reads = np.full((n, R), 4, np.uint8)
     rl = np.zeros(n, np.int32)
@@ -188,7 +189,12 @@ def _hap_to_ref_events_multi(items: list[tuple[list[np.ndarray],
 
     maxh = max(len(h) for _, _, h, _ in jobs)
     maxw = max(len(r) for _, _, _, r in jobs)
-    R = ((max(maxh, maxw, 32) + 31) // 32) * 32
+    # 128-quantized buckets: every distinct (R, W) is a separate XLA
+    # compile (~10-15 s for the full-SW + traceback pipeline); 32-step
+    # R quantization produced a compile variant per interval batch at
+    # WGS scale — the padding cost is a few % of cells, the compile
+    # storm was ~40% of the round-5 HTC wall
+    R = ((max(maxh, maxw, 128) + 127) // 128) * 128
     W = ((max(maxw, 128) + 127) // 128) * 128
     n = len(jobs)
     reads = np.full((n, maxh), 4, np.uint8)
