@@ -168,25 +168,24 @@ def _sw_score_kernel(read_ref, rlen_ref, win_ref, wlen_ref,
     neg_row = jnp.full((1, B), NEG, i32)
     rowvalid = rvec < rlen
 
-    def step(d, carry):
+    def substep(d, h1, h2, e1, f1):
         jvec = d - rvec
         new_row = win_ref[pl.ds(jnp.clip(d - 1, 0, W - 1), 1), :]
         wind = _shift_down(wind_ref[:], new_row)
         wind_ref[:] = wind
 
-        h1 = h1_ref[:]
-        e_new = jnp.maximum(h1 - go, e1_ref[:] - ge)
+        e_new = jnp.maximum(h1 - go, e1 - ge)
         h1s = _shift_down(h1, zero_row)
-        f_new = jnp.maximum(h1s - go, _shift_down(f1_ref[:], neg_row) - ge)
+        f_new = jnp.maximum(h1s - go, _shift_down(f1, neg_row) - ge)
         sub = jnp.where(read == wind, i32(match), i32(-mismatch))
-        diag = _shift_down(h2_ref[:], zero_row) + sub
+        diag = _shift_down(h2, zero_row) + sub
         h_new = jnp.maximum(jnp.maximum(0, diag), jnp.maximum(e_new, f_new))
 
         valid = jnp.logical_and(
             jnp.logical_and(jvec >= 1, jvec <= wlen), rowvalid)
         h_new = jnp.where(valid, h_new, 0)
-        e1_ref[:] = jnp.where(valid, e_new, NEG)
-        f1_ref[:] = jnp.where(valid, f_new, NEG)
+        e_new = jnp.where(valid, e_new, NEG)
+        f_new = jnp.where(valid, f_new, NEG)
 
         m = jnp.max(h_new, axis=0, keepdims=True)
         rowarg = jnp.min(
@@ -195,9 +194,24 @@ def _sw_score_kernel(read_ref, rlen_ref, win_ref, wlen_ref,
         upd = m > score_ref[:]
         score_ref[:] = jnp.where(upd, m, score_ref[:])
         pos_ref[:] = jnp.where(upd, d * POS_STRIDE + rowarg, pos_ref[:])
+        return h_new, e_new, f_new
 
-        h2_ref[:] = h1
-        h1_ref[:] = h_new
+    def step(k, carry):
+        # two diagonals per trip with VALUE-carried state (the scratch
+        # round-trip only at the pair boundary): the two substeps'
+        # independent work interleaves in the scheduler — +11% measured,
+        # bit-identical output (docs/ANALYSIS_sw.md §4)
+        d = 2 * k + 1
+        h1 = h1_ref[:]
+        h2 = h2_ref[:]
+        e1 = e1_ref[:]
+        f1 = f1_ref[:]
+        ha, ea, fa = substep(d, h1, h2, e1, f1)
+        hb, eb, fb = substep(d + 1, ha, h1, ea, fa)
+        h1_ref[:] = hb
+        h2_ref[:] = ha
+        e1_ref[:] = eb
+        f1_ref[:] = fb
         return carry
 
     # dynamic diagonal bound (same as the PairHMM kernel): cells past
@@ -205,7 +219,7 @@ def _sw_score_kernel(read_ref, rlen_ref, win_ref, wlen_ref,
     # the aligner's production windows (read + 2·pad = 214) underfill the
     # 256 bucket, worth ~12% of the sweep
     dmax = jnp.minimum(jnp.max(rlen + wlen), R + W)
-    jax.lax.fori_loop(1, dmax + 1, step, 0)
+    jax.lax.fori_loop(0, (dmax + 1) // 2, step, 0)
 
 
 def _sw_pallas_full(read, rlen, win, wlen, params: SWParams,
