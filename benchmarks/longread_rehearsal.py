@@ -78,6 +78,21 @@ def main() -> None:
     conf.set("temp_dir", str(work / "tmp"))
     conf.set("log_dir", str(work / "log"))
     out = work / "long_aligned.bam"
+
+    # warm-up: a tiny slice through the same stage primes the XLA
+    # compile cache (in-process); the row measures steady throughput,
+    # not cold-start — production runs amortize compiles over WGS-scale
+    # inputs
+    warm_fq = work / "long_warm.fastq"
+    with open(fq) as src, open(warm_fq, "w") as dst:
+        for i, line in enumerate(src):
+            if i >= 4 * 8:
+                break
+            dst.write(line)
+    stages.run_align(conf, str(ref), str(work / "long_warm.bam"),
+                     fastq1=str(warm_fq), sample_id="warm",
+                     long_reads=True, force=True)
+
     sampler = RssSampler()
     t0 = time.perf_counter()
     stages.run_align(conf, str(ref), str(out), fastq1=str(fq),

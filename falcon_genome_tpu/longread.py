@@ -173,13 +173,19 @@ def _checkpoints(cq: np.ndarray, cr: np.ndarray, k: int, L: int,
     budget_q = params.chunk_read
     budget_r = params.chunk_win
     npts = len(pts_q)
+    # list + bisect: the loop makes two tiny binary searches per chunk,
+    # and np.searchsorted's per-call overhead (~15 µs) made this walk
+    # ~0.5 s per 512-read sub-batch
+    import bisect
+    pq = pts_q.tolist()
+    pr_ = pts_r.tolist()
     i = 0
     while i < npts - 1:
-        qa, ra = int(pts_q[i]), int(pts_r[i])
+        qa, ra = pq[i], pr_[i]
         # greedily absorb checkpoints while the chunk fits both budgets
         # (points increase in both coords → two binary searches)
-        j = min(int(np.searchsorted(pts_q, qa + budget_q, "right")),
-                int(np.searchsorted(pts_r, ra + budget_r, "right"))) - 1
+        j = min(bisect.bisect_right(pq, qa + budget_q),
+                bisect.bisect_right(pr_, ra + budget_r)) - 1
         j = max(j, i + 1)
         j = min(j, npts - 1)
         qb, rb = int(pts_q[j]), int(pts_r[j])
@@ -216,17 +222,42 @@ def _merge_cigar(out: Cigar, op: int, n: int) -> None:
 
 def _assemble(chunks: list[_Chunk], results: list[SWResult],
               read_len: int) -> tuple[Cigar, int, int] | None:
+    """Object-form adapter over ``_assemble_rows`` (tests/golden path)."""
+    mo = max((len(r.cigar) for r in results), default=1) or 1
+    n = len(results)
+    ops_a = np.zeros((n, mo), np.int32)
+    lens_a = np.zeros((n, mo), np.int32)
+    nc = np.zeros(n, np.int32)
+    coords = np.zeros((4, n), np.int64)
+    best = np.zeros(n, np.int64)
+    for i, r in enumerate(results):
+        best[i] = r.score
+        coords[:, i] = (r.read_start, r.ref_start, r.read_end, r.ref_end)
+        nc[i] = len(r.cigar)
+        for t, (op, ln) in enumerate(r.cigar):
+            ops_a[i, t], lens_a[i, t] = op, ln
+    return _assemble_rows(chunks, 0, (ops_a, lens_a, nc, coords, best),
+                          read_len)
+
+
+def _assemble_rows(chunks: list[_Chunk], r0: int, arrs,
+                   read_len: int) -> tuple[Cigar, int, int] | None:
     """Concatenate chunk alignments → (oriented CIGAR, abs ref begin,
     total score).  Pinned chunk edges that local SW clipped are patched
-    with M (+ I/D remainder) so checkpoint correspondences stay exact."""
+    with M (+ I/D remainder) so checkpoint correspondences stay exact.
+    Consumes the RLE slot arrays directly (rows r0..r0+len(chunks)) —
+    building an SWResult object per chunk cost ~0.5 s per 512-read
+    long-read sub-batch."""
+    ops_a, lens_a, nc, coords, best = arrs
     cigar: Cigar = []
     score = 0
     ref_begin = None
     lead_uncovered = chunks[0].read_a if chunks else 0
-    for c, res in zip(chunks, results):
+    for ci, c in enumerate(chunks):
+        r = r0 + ci
         seg_q = c.read_b - c.read_a
         seg_r = c.ref_b - c.ref_a
-        if res.score <= 0:
+        if best[r] <= 0:
             if ref_begin is None:
                 # still unanchored: soft-clip and keep looking
                 _merge_cigar(cigar, CIGAR_S, seg_q)
@@ -237,10 +268,10 @@ def _assemble(chunks: list[_Chunk], results: list[SWResult],
             _merge_cigar(cigar, CIGAR_I, seg_q - m)
             _merge_cigar(cigar, CIGAR_D, seg_r - m)
             continue
-        score += res.score
+        score += int(best[r])
         # leading edge
-        lead_q = res.read_start
-        lead_r = res.ref_start
+        lead_q = int(coords[0, r])
+        lead_r = int(coords[1, r])
         if c.free_left and ref_begin is None:
             _merge_cigar(cigar, CIGAR_S, lead_q)
             ref_begin = c.ref_a + lead_r
@@ -254,12 +285,14 @@ def _assemble(chunks: list[_Chunk], results: list[SWResult],
                 _merge_cigar(cigar, CIGAR_I, lead_q - m)
                 _merge_cigar(cigar, CIGAR_D, lead_r - m)
         # aligned body (strip the soft clips the local SW emitted)
-        for op, n in res.cigar:
-            if op != CIGAR_S:
-                _merge_cigar(cigar, op, n)
+        ro = ops_a[r]
+        rl_ = lens_a[r]
+        for t in range(int(nc[r])):
+            if ro[t] != CIGAR_S:
+                _merge_cigar(cigar, int(ro[t]), int(rl_[t]))
         # trailing edge
-        tail_q = seg_q - res.read_end
-        tail_r = seg_r - res.ref_end
+        tail_q = seg_q - int(coords[2, r])
+        tail_r = seg_r - int(coords[3, r])
         if c.free_right:
             _merge_cigar(cigar, CIGAR_S, tail_q)
         else:
@@ -307,20 +340,57 @@ class LongReadAligner:
                 else "jax")
         self.bucket = bucket
 
-    def _chain_read(self, codes: np.ndarray):
+    def _lookup_batch(self, reads: list[np.ndarray]):
+        """ONE index lookup for a whole sub-batch's minimizers.
+
+        Per-read ``index.lookup`` walked the (88 MB at 60 Mb) sorted
+        hash array cache-cold once per read — the sorted-probe batch
+        walk is coherent and was ~40% of the steady-state wall.
+        Returns per-read (rp, rstrand, gpos, gstrand) hit arrays."""
+        k, w = self.index.params.k, self.index.params.w
+        hs, rps, rss, nm = [], [], [], []
+        for codes in reads:
+            h, rp, rs = _minimizers(np.asarray(codes, np.uint8), k, w)
+            hs.append(h)
+            rps.append(rp)
+            rss.append(rs)
+            nm.append(len(h))
+        if not hs:
+            return []
+        H = np.concatenate(hs)
+        out: list[tuple] = []
+        if len(H) == 0:
+            return [(np.zeros(0, np.int64), np.zeros(0, bool),
+                     np.zeros(0, np.int64), np.zeros(0, bool))] * len(reads)
+        qidx, gpos, gstrand = self.index.lookup(H)
+        RP = np.concatenate(rps)[qidx]
+        RS = np.concatenate(rss)[qidx]
+        # hits are in ascending minimizer order → grouped by read
+        bounds = np.concatenate([[0], np.cumsum(nm)])
+        splits = np.searchsorted(qidx, bounds)
+        for ri in range(len(reads)):
+            a, b = splits[ri], splits[ri + 1]
+            out.append((RP[a:b], RS[a:b], gpos[a:b], gstrand[a:b]))
+        return out
+
+    def _chain_read(self, codes: np.ndarray, hits=None):
         """Best chain over both strands → (is_rev, oriented codes,
         chain read/ref arrays, score, runner-up score) or None."""
         p = self.params
         k, w = self.index.params.k, self.index.params.w
-        h, rpos, rstrand = _minimizers(codes, k, w)
-        if len(h) == 0:
-            return None
-        qidx, gpos, gstrand = self.index.lookup(h)
-        if len(qidx) == 0:
+        if hits is None:
+            h, rpos, rstrand = _minimizers(codes, k, w)
+            if len(h) == 0:
+                return None
+            qidx, gpos, gstrand = self.index.lookup(h)
+            rp = rpos[qidx]
+            rs_h = rstrand[qidx]
+        else:
+            rp, rs_h, gpos, gstrand = hits
+        if len(rp) == 0:
             return None
         L = len(codes)
-        rp = rpos[qidx]
-        rev = gstrand != rstrand[qidx]
+        rev = gstrand != rs_h
         # oriented-read anchor coordinates (see aligner.find_candidates)
         q_or = np.where(rev, L - k - rp, rp)
         best = None
@@ -391,8 +461,11 @@ class LongReadAligner:
         plan = []                  # (is_rev, c0, c1, score, second, n)
         all_chunks: list[_Chunk] = []
         all_oriented: dict[int, np.ndarray] = {}
+        batch_hits = self._lookup_batch(
+            [np.asarray(c, np.uint8) for c in reads])
         for ri, codes in enumerate(reads):
-            got = self._chain_read(np.asarray(codes, np.uint8))
+            got = self._chain_read(np.asarray(codes, np.uint8),
+                                   batch_hits[ri])
             if got is None:
                 plan.append(None)
                 continue
@@ -411,10 +484,10 @@ class LongReadAligner:
     def _post(self, out, lo, reads, plan, all_chunks, all_oriented,
               handle):
         """Host stage 2: collect device results, assemble alignments."""
-        from .ops.smith_waterman import sw_extend_collect
+        from .ops.smith_waterman import sw_extend_collect_arrays
         genome = self.index.genome
-        results = (sw_extend_collect(handle) if handle is not None
-                   else [])
+        arrs = (sw_extend_collect_arrays(handle) if handle is not None
+                else None)
         for ri, codes in enumerate(reads):
             item = plan[ri]
             if item is None:
@@ -422,8 +495,8 @@ class LongReadAligner:
                                          read_len=len(codes))
                 continue
             is_rev, c0, c1, sc, second, n_anchors = item
-            asm = _assemble(all_chunks[c0:c1], results[c0:c1],
-                            len(codes))
+            asm = _assemble_rows(all_chunks[c0:c1], c0, arrs,
+                                 len(codes))
             if asm is None:
                 out[lo + ri] = Alignment(mapped=False,
                                          read_len=len(codes))

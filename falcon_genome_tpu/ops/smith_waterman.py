@@ -775,7 +775,33 @@ def sw_extend_win_dispatch(reads: np.ndarray, read_lens: np.ndarray,
         packed_h, coords_h, best_h = _decode_traceback(out, max_steps, B)
         return _results_from_packed(packed_h, max_steps, coords_h,
                                     best_h, np.asarray(read_lens))
-    return ("one", collect)
+
+    def collect_arrays():
+        """Array form: (ops, lens, nc, coords, best) — no SWResult
+        objects (the long-read assembler consumes rows directly)."""
+        out = np.asarray(out_dev)
+        packed_h, coords_h, best_h = _decode_traceback(out, max_steps, B)
+        from ..io import native_ext
+        i_f, j_f, bi, bj = coords_h
+        nat = native_ext.ops_rle_batch(packed_h, max_steps, i_f, bi,
+                                       best_h,
+                                       np.asarray(read_lens, np.int32))
+        if nat is None:
+            res = _results_from_packed(packed_h, max_steps, coords_h,
+                                       best_h, np.asarray(read_lens))
+            mo = 160
+            ops_a = np.zeros((B, mo), np.int32)
+            lens_a = np.zeros((B, mo), np.int32)
+            nc = np.zeros(B, np.int32)
+            for b, r in enumerate(res):
+                n = min(len(r.cigar), mo)
+                nc[b] = n
+                for t in range(n):
+                    ops_a[b, t], lens_a[b, t] = r.cigar[t]
+            return ops_a, lens_a, nc, coords_h, best_h
+        ops_a, lens_a, nc = nat
+        return ops_a, lens_a, nc, coords_h, best_h
+    return ("one", collect, collect_arrays)
 
 
 def sw_pair_dispatch(reads8_dev, j_read, j_rev, j_rlen, genome_dev,
@@ -1140,13 +1166,36 @@ def sw_extend_dispatch(reads: np.ndarray, read_lens: np.ndarray,
 
 
 def sw_extend_collect(handle) -> list[SWResult]:
-    kind, payload = handle
+    kind, payload = handle[0], handle[1]
     if kind == "multi":
         out: list[SWResult] = []
         for h in payload:
             out.extend(sw_extend_collect(h))
         return out
     return payload() if callable(payload) else payload
+
+
+def sw_extend_collect_arrays(handle):
+    """Array form of sw_extend_collect for handles that support it
+    (sw_extend_win_dispatch): (ops, lens, nc, coords, best), rows
+    concatenated across sub-calls."""
+    kind = handle[0]
+    if kind == "multi":
+        parts = [sw_extend_collect_arrays(h) for h in handle[1]]
+        mo = max(p[0].shape[1] for p in parts)
+
+        def padw(a):
+            if a.shape[1] == mo:
+                return a
+            out = np.zeros((a.shape[0], mo), a.dtype)
+            out[:, :a.shape[1]] = a
+            return out
+        return (np.concatenate([padw(p[0]) for p in parts]),
+                np.concatenate([padw(p[1]) for p in parts]),
+                np.concatenate([p[2] for p in parts]),
+                np.concatenate([p[3] for p in parts], axis=1),
+                np.concatenate([p[4] for p in parts]))
+    return handle[2]()
 
 
 def _sw_extend_dispatch_one(reads, read_lens, windows, win_lens,
