@@ -1094,21 +1094,27 @@ def _aln_scalars(alns: list[Alignment]) -> np.ndarray:
 def _flatten_cigars(alns: list[Alignment], mapped: np.ndarray
                     ) -> tuple[np.ndarray, np.ndarray, np.ndarray,
                                np.ndarray, np.ndarray]:
-    """(ops, lens, cig_off, ncigar, ref_len) over the record axis."""
-    ops_l: list[int] = []
-    lens_l: list[int] = []
+    """(ops, lens, cig_off, ncigar, ref_len) over the record axis.
+
+    One np.asarray per record instead of a per-op python append loop —
+    long-read CIGARs run to thousands of ops per record and the append
+    loop was the long-read emit bottleneck."""
     n = len(alns)
     cig_off = np.zeros(n, np.int64)
     ncigar = np.zeros(n, np.int32)
+    arrs: list[np.ndarray] = []
+    total = 0
     for i, a in enumerate(alns):
-        cig_off[i] = len(ops_l)
+        cig_off[i] = total
         if mapped[i] and a.cigar:
-            ncigar[i] = len(a.cigar)
-            for op, ln in a.cigar:
-                ops_l.append(op)
-                lens_l.append(ln)
-    ops = np.asarray(ops_l, np.int32)
-    lens = np.asarray(lens_l, np.int32)
+            arr = np.asarray(a.cigar, np.int32)
+            ncigar[i] = len(arr)
+            total += len(arr)
+            arrs.append(arr)
+    cat = (np.concatenate(arrs) if arrs
+           else np.zeros((0, 2), np.int32))
+    ops = np.ascontiguousarray(cat[:, 0])
+    lens = np.ascontiguousarray(cat[:, 1])
     if len(ops):
         contrib = np.where((ops == CIGAR_M) | (ops == CIGAR_D), lens, 0)
         csum = np.concatenate([[0], np.cumsum(contrib, dtype=np.int64)])

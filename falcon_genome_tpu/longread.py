@@ -425,11 +425,11 @@ class LongReadAligner:
 
     # reads per pipeline stage (device ∥ host overlap).  Tuned on the
     # remote-tunnel chip: each device call pays fixed latency, so large
-    # sub-batches (one ~4096-lane SW call each) beat finer overlap —
-    # 128 measured 1.9 Mbp/s vs 1.35 at 32 on the same 10 kb workload;
-    # production batches (tpu.batch.long_reads = 512) still get 4
-    # overlapped stages.
-    SUB_BATCH = 128
+    # sub-batches beat finer overlap — at the 60 Mb rehearsal 256
+    # measured 3.3 Mbp/s vs 3.1 at 128 (and 128 measured 1.9 vs 1.35 at
+    # 32 in round 4); production batches (tpu.batch.long_reads = 512)
+    # still get 2 overlapped stages.
+    SUB_BATCH = 256
 
     def align_batch(self, reads: list[np.ndarray]) -> list[Alignment]:
         """Two-stage pipeline: while the device scores sub-batch i's
