@@ -330,8 +330,8 @@ def write_bam_columns(path: str | Path, header: SamHeader, cols,
         f12 = cols.fixed if order is None else cols.fixed[order]
         sizes = cols.record_sizes()
         if order is not None:
-            sizes = sizes[order]
-        u = np.zeros(len(cols) + 1, np.int64)
+            sizes = sizes[order]      # order may be a partial selection
+        u = np.zeros(len(sizes) + 1, np.int64)
         np.cumsum(sizes, out=u[1:])
         u += len(hdr)
         blk = u // 65280

@@ -100,8 +100,8 @@ class RecordColumns:
             return None
         sizes = self.record_sizes()
         if order is not None:
-            sizes = sizes[order]
-        rec_off = np.zeros(len(self) + 1, np.int64)
+            sizes = sizes[order]      # order may be a partial selection
+        rec_off = np.zeros(len(sizes) + 1, np.int64)
         np.cumsum(sizes, out=rec_off[1:])
         return native_ext.bam_encode(
             self.fixed, order, self.names, self.name_off,

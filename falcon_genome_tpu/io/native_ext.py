@@ -454,10 +454,11 @@ def bam_encode(fixed, perm, names, name_off, cops, clens, cig_off,
     if nthreads <= 0:
         import os
         nthreads = min(os.cpu_count() or 1, 8)
-    N = fixed.shape[0]
     fixed = np.ascontiguousarray(fixed, np.int32)
     perm_a = (np.ascontiguousarray(perm, np.int64)
               if perm is not None else None)
+    # output count: a partial perm writes len(perm) records
+    N = len(perm_a) if perm_a is not None else fixed.shape[0]
     names = np.ascontiguousarray(names, np.uint8)
     name_off = np.ascontiguousarray(name_off, np.int64)
     cops = np.ascontiguousarray(cops, np.int32)

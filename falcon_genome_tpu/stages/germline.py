@@ -55,18 +55,26 @@ def run_germline(conf: Config, ref: str, output_vcf: str,
         shutil.rmtree(work)
     work.mkdir(parents=True, exist_ok=True)
 
+    # reference chain (worker-germline.cpp:21-337): align (bucketed
+    # sorted output) → markdup (streams the bucket tree out-of-core) →
+    # baserecal + printreads → htc on the RECALIBRATED reads.  The
+    # aligner emits the part-%06d tree unmerged so markdup never holds
+    # the sample in memory; bqsr's empirical quals are what suppress
+    # error-pileup het calls downstream.
     aligned = work / "aligned.bam"
-    if _reusable(work, "align", aligned):
-        log.info("germline: resume — reusing %s", aligned)
-        bam_paths = [str(aligned)]
+    bucket_dir = work / "aligned"
+    if _reusable(work, "align", bucket_dir):
+        log.info("germline: resume — reusing %s", bucket_dir)
     else:
-        bam_paths = run_align(
+        run_align(
             conf, ref, str(aligned), fastq1=fastq1, fastq2=fastq2,
             sample_sheet=sample_sheet, sample_id=sample_id,
             read_group=read_group, long_reads=long_reads, force=True,
-            extra_opts=extra_opts)
+            num_buckets=conf.get("minimap.num_buckets" if long_reads
+                                 else "bwa.num_buckets"),
+            merge=False, extra_opts=extra_opts)
         _done_marker(work, "align").touch()
-    bam = bam_paths[0]
+    bam = str(bucket_dir)
     if markdup:
         dedup = work / "dedup.bam"
         if _reusable(work, "markdup", dedup):
@@ -76,5 +84,14 @@ def run_germline(conf: Config, ref: str, output_vcf: str,
                         extra_opts=extra_opts)
             _done_marker(work, "markdup").touch()
         bam = str(dedup)
-    return run_htc(conf, ref, bam, output_vcf, produce_vcf=produce_vcf,
-                   sample=sample_id, force=force, extra_opts=extra_opts)
+    recal = work / "recal"
+    if _reusable(work, "bqsr", recal):
+        log.info("germline: resume — reusing %s", recal)
+    else:
+        from .bqsr import run_bqsr
+        run_bqsr(conf, ref, bam, str(recal), force=True,
+                 extra_opts=extra_opts)
+        _done_marker(work, "bqsr").touch()
+    return run_htc(conf, ref, str(recal), output_vcf,
+                   produce_vcf=produce_vcf, sample=sample_id, force=force,
+                   extra_opts=extra_opts)
