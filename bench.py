@@ -412,10 +412,17 @@ def bench_longread(rng):
 
 
 def bench_germline_e2e(rng):
-    """Full align→markdup→htc chain (the product, not a kernel): a
-    60 kb / ~10.8k-read paired-end sim through the same stage functions
-    the CLI drives.  Returns (reads/s end-to-end, SNP sensitivity,
-    extra calls)."""
+    """Full align→markdup→bqsr→htc chain (the product, not a kernel): a
+    240 kb / ~43k-read paired-end sim through the same fused ``germline``
+    driver the CLI runs.  Returns (reads/s end-to-end, SNP sensitivity,
+    extra calls).
+
+    Round-5 note: the chain gained the recalibration stages (the
+    reference's fused germline includes them, worker-germline.cpp) and
+    bucket-tree markdup, so this number is NOT comparable to rounds ≤4
+    (which measured align→markdup→htc only); per-stage fixed costs
+    dominate at micro scale — the meaningful throughput row is the 60 Mb
+    rehearsal (benchmarks/wgs_rehearsal.json: 7.5k reads/s e2e)."""
     import os
     import tempfile
 
@@ -426,7 +433,7 @@ def bench_germline_e2e(rng):
     from falcon_genome_tpu.io.fastq import write_fastq
     from falcon_genome_tpu.io.vcf import read_vcf
 
-    G, L, frag = 60_000, 150, 350
+    G, L, frag = 240_000, 150, 350
     chrom = rng.integers(0, 4, G).astype(np.uint8)
     tmp = tempfile.mkdtemp(prefix="bench-germline-")
     ref = os.path.join(tmp, "ref.fa")
@@ -452,6 +459,12 @@ def bench_germline_e2e(rng):
     conf = Config(machine=Machine(2, 16), environ={}, load_files=False)
     conf.set("temp_dir", tmp)
     conf.set("log_dir", os.path.join(tmp, "log"))
+    # scale the scatter to the 60 kb input (the production defaults —
+    # 1024 output buckets, 32 interval shards — are WGS-sized fixed
+    # costs that would swamp a micro-benchmark; the reference is
+    # likewise configured per input scale via fcs-genome.conf)
+    conf.set("bwa.num_buckets", 4)
+    conf.set("gatk.ncontigs", 4)
     out = os.path.join(tmp, "out.vcf.gz")
     n_reads = 2 * len(names)
     t0 = time.perf_counter()
