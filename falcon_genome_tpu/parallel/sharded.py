@@ -251,7 +251,9 @@ def mesh_coordinate_order(tid: np.ndarray, pos: np.ndarray,
     ≥ 2^32.  Stable (row index breaks ties in input order), matching
     np.lexsort."""
     n = len(pos)
-    if n >= (1 << 24) or (n and int(tid.max(initial=0)) >= 0xFF):
+    if n == 0:          # empty shard: nothing to sample-sort
+        return np.zeros(0, np.int64)
+    if n >= (1 << 24) or int(tid.max(initial=0)) >= 0xFF:
         return None
     keys = ((tid.astype(np.uint64) << np.uint64(56))
             | (pos.astype(np.uint64) << np.uint64(24))

@@ -22,6 +22,7 @@ from ..config import Config
 from ..utils.common import check_output
 from .align import run_align
 from .bamstages import run_markdup
+from .bqsr import run_bqsr
 from .calling import run_htc
 
 log = logging.getLogger("falcon_genome_tpu")
@@ -88,7 +89,6 @@ def run_germline(conf: Config, ref: str, output_vcf: str,
     if _reusable(work, "bqsr", recal):
         log.info("germline: resume — reusing %s", recal)
     else:
-        from .bqsr import run_bqsr
         run_bqsr(conf, ref, bam, str(recal), force=True,
                  extra_opts=extra_opts)
         _done_marker(work, "bqsr").touch()

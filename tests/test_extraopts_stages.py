@@ -434,12 +434,17 @@ class TestGermlineResume:
 
         def fake_align(conf, ref, out, **kw):
             calls.append("align")
-            Path(out).write_bytes(b"BAM")
+            Path(out).with_suffix("").mkdir(parents=True, exist_ok=True)
             return [out]
 
         def fake_markdup(conf, inp, out, **kw):
             calls.append("markdup")
             Path(out).write_bytes(b"BAM")
+            return out
+
+        def fake_bqsr(conf, ref, inp, out, **kw):
+            calls.append("bqsr")
+            Path(out).mkdir(parents=True, exist_ok=True)
             return out
 
         def fake_htc(conf, ref, bam, out, **kw):
@@ -448,20 +453,21 @@ class TestGermlineResume:
             return out
         monkeypatch.setattr(g, "run_align", fake_align)
         monkeypatch.setattr(g, "run_markdup", fake_markdup)
+        monkeypatch.setattr(g, "run_bqsr", fake_bqsr)
         monkeypatch.setattr(g, "run_htc", fake_htc)
         conf = _conf()
         out = tmp_path / "o.vcf"
         g.run_germline(conf, "r.fa", str(out), fastq1="x.fq", force=True)
-        assert calls == ["align", "markdup", "htc"]
+        assert calls == ["align", "markdup", "bqsr", "htc"]
         # kill-and-rerun: output gone, work artifacts + markers remain
         calls.clear()
         os.remove(out)
         g.run_germline(conf, "r.fa", str(out), fastq1="x.fq", force=False)
-        assert calls == ["htc"]  # align + markdup reused
+        assert calls == ["htc"]  # align + markdup + bqsr reused
         # -f discards the work dir and recomputes
         calls.clear()
         g.run_germline(conf, "r.fa", str(out), fastq1="x.fq", force=True)
-        assert calls == ["align", "markdup", "htc"]
+        assert calls == ["align", "markdup", "bqsr", "htc"]
 
 
 class TestStreamedMarkdup:
