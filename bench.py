@@ -377,6 +377,40 @@ def bench_align(rng):
     return n / best, mapped
 
 
+def bench_align_pair(rng):
+    """Production pair path: 4096 FR pairs vs a 4 Mb genome through the
+    fused dispatch/collect engine (seeding+chaining in threaded C++, one
+    device round-trip per batch)."""
+    from falcon_genome_tpu.aligner import (
+        AlignerEngine, AlignerParams, IndexParams, MinimizerIndex)
+    from falcon_genome_tpu.io.dna import revcomp_codes
+
+    G, B1, L, frag = 4_000_000, 4096, 150, 350
+    chrom = rng.integers(0, 4, G).astype(np.uint8)
+    idx = MinimizerIndex([("chr1", chrom)], IndexParams(k=17, w=7))
+    c1 = np.zeros((B1, L), np.uint8)
+    c2 = np.zeros((B1, L), np.uint8)
+    for i in range(B1):
+        p = int(rng.integers(0, G - frag))
+        r1 = chrom[p:p + L].copy()
+        r2 = revcomp_codes(chrom[p + frag - L:p + frag].copy())
+        for r in (r1, r2):
+            mut = rng.random(L) < 0.005
+            r[mut] = (r[mut] + 1) % 4
+        c1[i], c2[i] = r1, r2
+    lens = np.full(B1, L, np.int32)
+    eng = AlignerEngine(idx, AlignerParams())
+    r1, r2 = eng.align_pair_batch(c1, lens, c2, lens)   # compile + warm
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        h = eng.align_pair_dispatch(c1, lens, c2, lens)
+        r1, r2 = eng.align_pair_collect(h)
+        best = min(best, time.perf_counter() - t0)
+    mapped = (int(r1.mapped.sum()) + int(r2.mapped.sum())) / (2 * B1)
+    return 2 * B1 / best, mapped
+
+
 def bench_longread(rng):
     """Steady-state long-read alignment throughput (Mbp/s): 128 × 10 kb
     reads at 5% ONT-class error against a 1 Mb reference (the in-repo
@@ -519,6 +553,12 @@ def main() -> None:
         extras["align_mapped_frac"] = round(mapped, 4)
     except Exception as e:
         print(f"# align extra failed: {e!r}", file=sys.stderr)
+    try:
+        rps, mapped = bench_align_pair(rng)
+        extras["align_pair_reads_per_s"] = round(rps, 1)
+        extras["align_pair_mapped_frac"] = round(mapped, 4)
+    except Exception as e:
+        print(f"# align pair extra failed: {e!r}", file=sys.stderr)
     try:
         if backend == "tpu":
             ceil, twin_per_call = bench_pallas_fma_ceiling(jax, jnp)
