@@ -98,6 +98,16 @@ def load() -> ctypes.CDLL | None:
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_void_p]
+        lib.fg_fastq_scan_sizes.restype = None
+        lib.fg_fastq_scan_sizes.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_void_p]
+        lib.fg_fastq_fill.restype = ctypes.c_int64
+        lib.fg_fastq_fill.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p]
         lib.fg_seed_and_chain.restype = None
         lib.fg_seed_and_chain.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
@@ -324,6 +334,39 @@ def sw_traceback_batch(ptr: np.ndarray, scores: np.ndarray,
         read_lens.ctypes.data, pos_stride, max_ops,
         out_ops.ctypes.data, out_lens.ctypes.data, out_meta.ctypes.data)
     return out_ops, out_lens, out_meta
+
+
+def fastq_scan(buf: np.ndarray, max_recs: int, phred_offset: int,
+               final_chunk: bool, width: int | None = None):
+    """Parse up to max_recs complete FASTQ records from a byte buffer.
+
+    Returns (codes, quals, lens, names_blob, name_lens, consumed) or
+    None (lib unavailable / malformed — caller re-parses in python for
+    the precise error)."""
+    lib = load()
+    if lib is None:
+        return None
+    out5 = np.zeros(5, np.int64)
+    lib.fg_fastq_scan_sizes(buf.ctypes.data, len(buf), max_recs,
+                            1 if final_chunk else 0, out5.ctypes.data)
+    n_recs, maxlen, _, namebytes, ok = (int(x) for x in out5)
+    if not ok:
+        return None
+    w = width if width else maxlen
+    if maxlen > w:
+        return None
+    codes = np.full((n_recs, max(w, 1)), 4, np.uint8)
+    quals = np.zeros((n_recs, max(w, 1)), np.uint8)
+    lens = np.zeros(n_recs, np.int32)
+    names = np.zeros(max(namebytes, 1), np.uint8)
+    name_lens = np.zeros(n_recs, np.int32)
+    consumed = lib.fg_fastq_fill(
+        buf.ctypes.data, len(buf), n_recs, codes.shape[1], phred_offset,
+        1 if final_chunk else 0, codes.ctypes.data, quals.ctypes.data,
+        lens.ctypes.data, names.ctypes.data, name_lens.ctypes.data)
+    if consumed < 0:
+        return None
+    return codes, quals, lens, names, name_lens, int(consumed)
 
 
 def seed_and_chain(codes: np.ndarray, lens: np.ndarray, k: int, w: int,

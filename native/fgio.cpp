@@ -304,6 +304,108 @@ void fg_hash_spans(const uint8_t* blob, const int64_t* offs,
 }
 
 // ---------------------------------------------------------------------------
+// FASTQ scan (must match io.fastq.iter_fastq_records + _pack semantics)
+// ---------------------------------------------------------------------------
+
+static uint8_t FQ_CODE[256];
+static bool fq_code_init = []() {
+  for (int i = 0; i < 256; i++) FQ_CODE[i] = 4;
+  const char* b = "ACGT";
+  for (int i = 0; i < 4; i++) {
+    FQ_CODE[(uint8_t)b[i]] = (uint8_t)i;
+    FQ_CODE[(uint8_t)std::tolower(b[i])] = (uint8_t)i;
+  }
+  return true;
+}();
+
+// One line: [*start, end) excluding the terminator; returns the offset
+// just past the '\n' (or `n` when final && no terminator).  -1 = need
+// more bytes.
+static int64_t fq_line(const uint8_t* buf, int64_t off, int64_t n,
+                       int final_chunk, int64_t* a, int64_t* b) {
+  int64_t i = off;
+  while (i < n && buf[i] != '\n') i++;
+  if (i >= n && !final_chunk) return -1;
+  *a = off;
+  // strip trailing \r (the \n itself is excluded already)
+  int64_t stop = (i < n) ? i : n;
+  while (stop > off && (buf[stop - 1] == '\r')) stop--;
+  *b = stop;
+  return (i < n) ? i + 1 : n;
+}
+
+// Pass 0: count complete records. out[0]=n_recs, out[1]=max_seq_len,
+// out[2]=consumed bytes, out[3]=total name bytes, out[4]=1 ok / 0
+// malformed.
+void fg_fastq_scan_sizes(const uint8_t* buf, int64_t n, int64_t max_recs,
+                         int32_t final_chunk, int64_t* out5) {
+  int64_t off = 0, recs = 0, maxlen = 0, namebytes = 0;
+  out5[4] = 1;
+  while (recs < max_recs && off < n) {
+    int64_t h0, h1, s0, s1, p0, p1, q0, q1;
+    int64_t o1 = fq_line(buf, off, n, final_chunk, &h0, &h1);
+    if (o1 < 0) break;
+    int64_t o2 = fq_line(buf, o1, n, final_chunk, &s0, &s1);
+    if (o2 < 0) break;
+    int64_t o3 = fq_line(buf, o2, n, final_chunk, &p0, &p1);
+    if (o3 < 0) break;
+    int64_t o4 = fq_line(buf, o3, n, final_chunk, &q0, &q1);
+    if (o4 < 0) break;
+    if (h1 <= h0 || buf[h0] != '@' || p1 <= p0 || buf[p0] != '+' ||
+        (s1 - s0) != (q1 - q0)) {
+      out5[4] = 0;
+      break;
+    }
+    int64_t ne = h0 + 1;
+    while (ne < h1 && buf[ne] != ' ' && buf[ne] != '\t') ne++;
+    namebytes += ne - (h0 + 1);
+    if (s1 - s0 > maxlen) maxlen = s1 - s0;
+    recs++;
+    off = o4;
+  }
+  out5[0] = recs;
+  out5[1] = maxlen;
+  out5[2] = off;
+  out5[3] = namebytes;
+}
+
+// Pass 1: fill codes/quals/lens/name blob for n_recs records.
+// codes/quals are (n_recs, width) row-major, pre-filled by the caller
+// (codes with 4, quals with 0).  Returns consumed bytes, or -1.
+int64_t fg_fastq_fill(const uint8_t* buf, int64_t n, int64_t n_recs,
+                      int64_t width, int32_t phred_offset,
+                      int32_t final_chunk,
+                      uint8_t* codes, uint8_t* quals, int32_t* lens,
+                      uint8_t* names, int32_t* name_lens) {
+  int64_t off = 0, nameo = 0;
+  for (int64_t r = 0; r < n_recs; r++) {
+    int64_t h0, h1, s0, s1, p0, p1, q0, q1;
+    int64_t o1 = fq_line(buf, off, n, final_chunk, &h0, &h1);
+    int64_t o2 = fq_line(buf, o1, n, final_chunk, &s0, &s1);
+    int64_t o3 = fq_line(buf, o2, n, final_chunk, &p0, &p1);
+    int64_t o4 = fq_line(buf, o3, n, final_chunk, &q0, &q1);
+    if (o4 < 0) return -1;
+    int64_t ne = h0 + 1;
+    while (ne < h1 && buf[ne] != ' ' && buf[ne] != '\t') ne++;
+    int64_t nl = ne - (h0 + 1);
+    std::memcpy(names + nameo, buf + h0 + 1, nl);
+    name_lens[r] = (int32_t)nl;
+    nameo += nl;
+    int64_t L = s1 - s0;
+    if (L > width) return -1;
+    uint8_t* c = codes + r * width;
+    uint8_t* q = quals + r * width;
+    for (int64_t i = 0; i < L; i++) {
+      c[i] = FQ_CODE[buf[s0 + i]];
+      q[i] = (uint8_t)(buf[q0 + i] - phred_offset);
+    }
+    lens[r] = (int32_t)L;
+    off = o4;
+  }
+  return off;
+}
+
+// ---------------------------------------------------------------------------
 // minimizers (must match aligner._minimizers bit-for-bit)
 // ---------------------------------------------------------------------------
 

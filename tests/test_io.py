@@ -299,3 +299,52 @@ class TestVcf:
     def test_gvcf_block(self):
         rec = VcfRecord("chr1", 10, "A", ["<NON_REF>"], info={"END": 50})
         assert rec.is_gvcf_block
+
+
+class TestNativeFastqReader:
+    def test_native_matches_python(self, tmp_path):
+        import numpy as np
+        from falcon_genome_tpu.io import native_ext
+        from falcon_genome_tpu.io.fastq import FastqReader
+        if native_ext.load() is None:
+            import pytest
+            pytest.skip("native ext unavailable")
+        rng = np.random.default_rng(3)
+        fq1 = tmp_path / "a_1.fastq"
+        fq2 = tmp_path / "a_2.fastq"
+        bases = "ACGTN"
+        with open(fq1, "w") as f1, open(fq2, "w") as f2:
+            for i in range(533):           # not a multiple of batch size
+                L = int(rng.integers(30, 160))
+                s = "".join(bases[int(b)] for b in rng.integers(0, 5, L))
+                q = "".join(chr(33 + int(x))
+                            for x in rng.integers(0, 60, L))
+                f1.write(f"@r{i} comment text\n{s}\n+\n{q}\n")
+                L2 = int(rng.integers(30, 160))
+                s2 = "".join(bases[int(b)]
+                             for b in rng.integers(0, 5, L2))
+                q2 = "".join(chr(33 + int(x))
+                             for x in rng.integers(0, 60, L2))
+                tail = "\n" if i < 532 else ""   # last record unterminated
+                f2.write(f"@r{i}\n{s2}\n+\n{q2}{tail}")
+
+        def collect(reader):
+            out = []
+            for b1, b2 in reader:
+                out.append((b1, b2))
+            return out
+
+        nat = collect(FastqReader(fq1, fq2, batch_size=128))
+        orig = native_ext.available
+        try:
+            native_ext.available = lambda: False
+            ref = collect(FastqReader(fq1, fq2, batch_size=128))
+        finally:
+            native_ext.available = orig
+        assert len(nat) == len(ref)
+        for (n1, n2), (r1, r2) in zip(nat, ref):
+            for a, b in ((n1, r1), (n2, r2)):
+                assert a.names == b.names
+                np.testing.assert_array_equal(a.lengths, b.lengths)
+                np.testing.assert_array_equal(a.codes, b.codes)
+                np.testing.assert_array_equal(a.quals, b.quals)
