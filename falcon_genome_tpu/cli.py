@@ -30,7 +30,7 @@ COMMANDS = {
     "gatk": "dispatch a GATK-style walker invocation to in-repo stages",
     "depth": "depth of coverage analysis",
     "vcf_filter": "filter variants by expression",
-    "germline": "one-command germline pipeline (align → markdup → htc)",
+    "germline": "one-command germline pipeline (align → markdup → bqsr → htc)",
     "concat": "concatenate per-shard VCFs",
     "conf": "print all configuration options",
 }

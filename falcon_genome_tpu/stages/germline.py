@@ -1,4 +1,4 @@
-"""``germline`` stage: fused align → markdup → htc per sample.
+"""``germline`` stage: fused align → markdup → bqsr → htc per sample.
 
 Mirrors src/worker-germline.cpp:21-337 — the reference's one-command
 end-to-end germline pipeline (align per read group, per-bucket sort,
